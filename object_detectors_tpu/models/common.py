@@ -1,0 +1,113 @@
+"""Shared Flax building blocks.
+
+TPU conventions used across the model zoo:
+* NHWC layout (XLA:TPU native conv layout — channels on the 128-lane dim).
+* ``dtype`` is the compute/activation dtype (bfloat16 in production,
+  float32 in tests); parameters stay float32 (``param_dtype``).
+* BatchNorm follows torch semantics: eps 1e-5, running-stat momentum 0.1
+  (flax ``momentum = 0.9``), exercised with ``use_running_average`` driven
+  by a ``train`` flag. Cross-replica SyncBN (the reference's apex
+  ``convert_syncbn_model``, yolo/procedures/initialize.py:32) is expressed
+  with ``axis_name='batch'`` so BN stats psum over the data mesh axis.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+class ConvBN(nn.Module):
+    """conv + batch_norm + leaky_relu(0.1) — the reference 'CBL' block
+    (yolo/nets/yolohead.py:41-49, darknet.py:13-21)."""
+
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    use_bn: bool = True
+    act: bool = True
+    negative_slope: float = 0.1
+    dtype: Any = jnp.float32
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = (self.kernel_size - 1) // 2
+        x = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.strides, self.strides),
+            padding=((pad, pad), (pad, pad)),
+            use_bias=not self.use_bn,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+        if self.use_bn:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                axis_name=self.bn_axis_name if train else None,
+                name="bn",
+            )(x)
+        if self.act:
+            x = nn.leaky_relu(x, negative_slope=self.negative_slope)
+        return x
+
+
+def max_pool_same(x, window: int, stride: int = 1):
+    """MaxPool2d(kernel, stride, padding=(k-1)//2) torch semantics, NHWC."""
+    pad = (window - 1) // 2
+    return nn.max_pool(
+        x,
+        window_shape=(window, window),
+        strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+    )
+
+
+def upsample_nearest_2x(x):
+    """nn.Upsample(scale_factor=2, mode='nearest') for NHWC tensors.
+
+    Implemented as reshape+broadcast (XLA fuses this; avoids gather)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm with fixed (non-trainable, non-updating) statistics —
+    torchvision FrozenBatchNorm2d used by detection ResNets
+    (tvision/_utils.py:7, backbone_utils.py). scale/bias/mean/var are
+    plain variables in the 'frozen' collection so checkpoints can load
+    pretrained stats; math is (x - mean) * rsqrt(var + eps) * weight + bias
+    folded into one multiply-add."""
+
+    features: int
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):  # train ignored — frozen
+        weight = self.variable(
+            "frozen", "weight", lambda: jnp.ones(self.features, jnp.float32)
+        ).value
+        bias = self.variable(
+            "frozen", "bias", lambda: jnp.zeros(self.features, jnp.float32)
+        ).value
+        mean = self.variable(
+            "frozen", "running_mean",
+            lambda: jnp.zeros(self.features, jnp.float32),
+        ).value
+        var = self.variable(
+            "frozen", "running_var",
+            lambda: jnp.ones(self.features, jnp.float32),
+        ).value
+        scale = weight / jnp.sqrt(var + self.epsilon)
+        shift = bias - mean * scale
+        return x * scale.astype(self.dtype) + shift.astype(self.dtype)

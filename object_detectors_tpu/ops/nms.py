@@ -1,0 +1,184 @@
+"""Static-shape NMS for TPU: greedy, class-aware, and majority-vote variants.
+
+Replaces the reference's CUDA `torchvision.ops.nms` / `batched_nms`
+(`tvision/rpn.py:272`, `roi_heads.py:771`, `retinanet.py:463`,
+`ssd.py:423`) and the Python-while-loop `nms_majority`
+(`yolo/utilities/helper.py:280-382`) with a fully jit-able design:
+
+* Scores are sorted once; a sequential `lax.fori_loop` sweeps the
+  score-sorted IoU matrix marking suppressions — O(N) steps of O(N) vector
+  work after one O(N^2) IoU matrix, all on-device, shapes static.
+* Outputs are fixed-size (``max_output``) with a validity mask; suppressed
+  slots carry score 0 so downstream top-k / evaluators can ignore them.
+* Class-aware NMS uses the coordinate-offset trick (torchvision
+  batched_nms semantics): boxes of different classes never overlap.
+* The majority-vote variant reproduces `nms_majority` exactly: when a kept
+  box suppresses a cluster containing >1 distinct class, its label is
+  replaced by the cluster's most frequent class (smallest id wins ties,
+  matching torch.max-over-counts).
+
+Everything vmaps over a batch dimension.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from object_detectors_tpu.ops import boxes as box_ops
+
+
+def _sorted_suppression_matrix(boxes_sorted: jnp.ndarray,
+                               iou_threshold: float) -> jnp.ndarray:
+    """[N] boxes (score-desc sorted, xyxy) -> [N] suppressed mask."""
+    n = boxes_sorted.shape[0]
+    iou = box_ops.pairwise_iou(boxes_sorted, boxes_sorted)  # [N, N]
+    col = jnp.arange(n)
+
+    def body(i, suppressed):
+        keep_i = jnp.logical_not(suppressed[i])
+        newly = keep_i & (iou[i] > iou_threshold) & (col > i)
+        return suppressed | newly
+
+    return jax.lax.fori_loop(0, n, body, jnp.zeros((n,), bool))
+
+
+@partial(jax.jit, static_argnames=("iou_threshold", "max_output"))
+def nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_threshold: float = 0.5,
+    max_output: int = 100,
+    valid: jnp.ndarray | None = None,
+):
+    """Greedy NMS with fixed-size output.
+
+    Args:
+      boxes: [N, 4] xyxy.
+      scores: [N]; padding should carry score <= 0 or use ``valid``.
+      iou_threshold: suppress boxes with IoU *strictly greater* (reference
+        keeps IoU < thr and votes IoU > thr; equality is kept).
+      max_output: static output size K.
+      valid: optional [N] bool; invalid entries never selected.
+
+    Returns:
+      (boxes [K,4], scores [K], keep_idx [K] into the input, valid [K]).
+    """
+    n = boxes.shape[0]
+    s = scores if valid is None else jnp.where(valid, scores, -jnp.inf)
+    order = jnp.argsort(-s)
+    b_sorted = boxes[order]
+    s_sorted = s[order]
+
+    suppressed = _sorted_suppression_matrix(b_sorted, iou_threshold)
+    keep = (~suppressed) & jnp.isfinite(s_sorted)
+
+    # Compact kept entries (already score-ordered) into the first K slots;
+    # rows beyond K scatter to index==max_output which mode="drop" discards.
+    rank = jnp.cumsum(keep) - 1  # rank of each kept row
+    in_range = keep & (rank < max_output)
+    src = jnp.full((max_output,), -1, jnp.int32).at[
+        jnp.where(in_range, rank, max_output)
+    ].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
+
+    out_valid = src >= 0
+    src_c = jnp.clip(src, 0)
+    out_boxes = jnp.where(out_valid[:, None], b_sorted[src_c], 0.0)
+    out_scores = jnp.where(out_valid, s_sorted[src_c], 0.0)
+    keep_idx = jnp.where(out_valid, order[src_c], -1)
+    return out_boxes, out_scores, keep_idx, out_valid
+
+
+@partial(jax.jit, static_argnames=("iou_threshold", "max_output"))
+def batched_nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    class_ids: jnp.ndarray,
+    iou_threshold: float = 0.5,
+    max_output: int = 100,
+    valid: jnp.ndarray | None = None,
+):
+    """Class-aware NMS via the coordinate-offset trick
+    (torchvision.ops.batched_nms semantics — boxes of different classes are
+    never compared)."""
+    max_coord = jnp.max(jnp.where(
+        valid[:, None] if valid is not None else True, boxes, 0.0))
+    offsets = class_ids.astype(boxes.dtype)[:, None] * (max_coord + 1.0)
+    shifted = boxes + offsets
+    ob, osc, keep_idx, ovalid = nms(
+        shifted, scores, iou_threshold, max_output, valid)
+    # Return original (un-shifted) boxes and the surviving labels.
+    idx_c = jnp.clip(keep_idx, 0)
+    out_boxes = jnp.where(ovalid[:, None], boxes[idx_c], 0.0)
+    out_labels = jnp.where(ovalid, class_ids[idx_c], -1)
+    return out_boxes, osc, out_labels, keep_idx, ovalid
+
+
+@partial(jax.jit, static_argnames=("iou_threshold", "max_output", "num_classes"))
+def nms_majority(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    class_ids: jnp.ndarray,
+    num_classes: int,
+    iou_threshold: float = 0.6,
+    max_output: int = 100,
+    valid: jnp.ndarray | None = None,
+):
+    """Majority-vote NMS (`yolo/utilities/helper.py:280-382`).
+
+    Class-agnostic greedy NMS where each surviving box's label may be
+    overwritten by the majority class of the boxes it suppresses in that
+    step, when the suppressed cluster contains more than one distinct class.
+    Count ties resolve to the smallest class id (torch.max-over-unique-counts
+    behavior).
+
+    Returns (boxes [K,4], scores [K], labels [K], valid [K]).
+    """
+    n = boxes.shape[0]
+    s = scores if valid is None else jnp.where(valid, scores, -jnp.inf)
+    order = jnp.argsort(-s)
+    b_sorted = boxes[order]
+    s_sorted = s[order]
+    c_sorted = class_ids[order].astype(jnp.int32)
+
+    iou = box_ops.pairwise_iou(b_sorted, b_sorted)
+    col = jnp.arange(n)
+
+    def body(i, carry):
+        suppressed, labels = carry
+        keep_i = jnp.logical_not(suppressed[i])
+        newly = keep_i & (iou[i] > iou_threshold) & (col > i) & (
+            ~suppressed) & jnp.isfinite(s_sorted)
+        counts = jnp.zeros((num_classes,), jnp.int32).at[
+            jnp.clip(labels, 0, num_classes - 1)
+        ].add(newly.astype(jnp.int32), mode="drop")
+        n_unique = jnp.sum(counts > 0)
+        majority = jnp.argmax(counts).astype(jnp.int32)
+        new_label_i = jnp.where(n_unique > 1, majority, labels[i])
+        labels = labels.at[i].set(jnp.where(keep_i, new_label_i, labels[i]))
+        return suppressed | newly, labels
+
+    suppressed, labels = jax.lax.fori_loop(
+        0, n, body, (jnp.zeros((n,), bool), c_sorted))
+    keep = (~suppressed) & jnp.isfinite(s_sorted)
+
+    rank = jnp.cumsum(keep) - 1
+    in_range = keep & (rank < max_output)
+    src = jnp.full((max_output,), -1, jnp.int32).at[
+        jnp.where(in_range, rank, max_output)
+    ].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
+
+    out_valid = src >= 0
+    src_c = jnp.clip(src, 0)
+    out_boxes = jnp.where(out_valid[:, None], b_sorted[src_c], 0.0)
+    out_scores = jnp.where(out_valid, s_sorted[src_c], 0.0)
+    out_labels = jnp.where(out_valid, labels[src_c], -1)
+    return out_boxes, out_scores, out_labels, out_valid
+
+
+def topk_by_score(scores: jnp.ndarray, k: int):
+    """Top-k helper returning (values, indices) — thin wrapper over
+    lax.top_k for pre-NMS candidate reduction (per-level top-1000 etc.)."""
+    return jax.lax.top_k(scores, k)

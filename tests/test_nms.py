@@ -1,0 +1,159 @@
+"""NMS tests: parity against a trusted numpy greedy reference, plus the
+majority-vote label semantics of `yolo/utilities/helper.py:280-382`."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from object_detectors_tpu.ops import nms as N
+
+
+def np_greedy_nms(boxes, scores, thresh):
+    """Independent numpy greedy NMS (suppress IoU > thresh), returns kept
+    indices in score-descending order."""
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    suppressed = np.zeros(len(scores), bool)
+    areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        xx1 = np.maximum(boxes[i, 0], boxes[:, 0])
+        yy1 = np.maximum(boxes[i, 1], boxes[:, 1])
+        xx2 = np.minimum(boxes[i, 2], boxes[:, 2])
+        yy2 = np.minimum(boxes[i, 3], boxes[:, 3])
+        inter = np.clip(xx2 - xx1, 0, None) * np.clip(yy2 - yy1, 0, None)
+        iou = inter / (areas[i] + areas - inter + 1e-16)
+        suppressed |= iou > thresh
+        suppressed[i] = True  # own IoU is 1, but it's kept
+    return keep
+
+
+def random_boxes(rng, n, size=100.0):
+    xy = rng.rand(n, 2).astype(np.float32) * size
+    wh = rng.rand(n, 2).astype(np.float32) * size * 0.3 + 1.0
+    return np.concatenate([xy, xy + wh], axis=1)
+
+
+def test_nms_matches_numpy_reference():
+    rng = np.random.RandomState(0)
+    for trial in range(5):
+        n = 64
+        boxes = random_boxes(rng, n)
+        scores = rng.rand(n).astype(np.float32)
+        ref_keep = np_greedy_nms(boxes, scores, 0.5)
+
+        ob, osc, keep_idx, valid = N.nms(
+            jnp.asarray(boxes), jnp.asarray(scores), 0.5, max_output=n
+        )
+        got = [int(i) for i, v in zip(np.asarray(keep_idx), np.asarray(valid)) if v]
+        assert got == ref_keep, f"trial {trial}: {got} vs {ref_keep}"
+
+
+def test_nms_max_output_truncates():
+    rng = np.random.RandomState(1)
+    boxes = random_boxes(rng, 32)
+    scores = rng.rand(32).astype(np.float32)
+    ref_keep = np_greedy_nms(boxes, scores, 0.9)  # high thr keeps most
+    k = 4
+    ob, osc, keep_idx, valid = N.nms(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.9, max_output=k
+    )
+    assert np.asarray(valid).sum() == min(k, len(ref_keep))
+    got = [int(i) for i, v in zip(np.asarray(keep_idx), np.asarray(valid)) if v]
+    assert got == ref_keep[:k]
+
+
+def test_nms_respects_valid_mask():
+    boxes = np.array(
+        [[0, 0, 10, 10], [0, 0, 10, 10], [20, 20, 30, 30]], np.float32
+    )
+    scores = np.array([0.9, 0.8, 0.7], np.float32)
+    valid = np.array([False, True, True])
+    ob, osc, keep_idx, ovalid = N.nms(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.5, 3, jnp.asarray(valid)
+    )
+    got = [int(i) for i, v in zip(np.asarray(keep_idx), np.asarray(ovalid)) if v]
+    assert got == [1, 2]  # box 0 is invalid, so box 1 survives
+
+
+def test_batched_nms_separates_classes():
+    # Two perfectly-overlapping boxes of different classes both survive.
+    boxes = np.array([[0, 0, 10, 10], [0, 0, 10, 10]], np.float32)
+    scores = np.array([0.9, 0.8], np.float32)
+    classes = np.array([1, 2], np.int32)
+    ob, osc, olab, keep_idx, valid = N.batched_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(classes),
+        0.5, 4,
+    )
+    assert np.asarray(valid).sum() == 2
+    assert sorted(np.asarray(olab)[np.asarray(valid)].tolist()) == [1, 2]
+    # Same-class overlapping boxes: one survives.
+    classes_same = np.array([1, 1], np.int32)
+    *_, valid2 = N.batched_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(classes_same),
+        0.5, 4,
+    )[:5]
+    ob2, osc2, olab2, keep2, valid2 = N.batched_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(classes_same),
+        0.5, 4,
+    )
+    assert np.asarray(valid2).sum() == 1
+
+
+def test_majority_vote_relabels_survivor():
+    # Survivor (class 0) suppresses three boxes: classes [1, 1, 2].
+    # Cluster has >1 unique class; majority=1 -> survivor relabeled to 1.
+    base = [0.0, 0.0, 10.0, 10.0]
+    boxes = np.array([base, base, base, base], np.float32)
+    scores = np.array([0.9, 0.8, 0.7, 0.6], np.float32)
+    classes = np.array([0, 1, 1, 2], np.int32)
+    ob, osc, olab, valid = N.nms_majority(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(classes),
+        num_classes=5, iou_threshold=0.6, max_output=4,
+    )
+    v = np.asarray(valid)
+    assert v.sum() == 1
+    assert int(np.asarray(olab)[0]) == 1  # relabeled by majority vote
+
+
+def test_majority_vote_single_class_cluster_keeps_label():
+    # Cluster suppressed boxes all one class -> no relabel (reference only
+    # votes when cnts.shape[0] > 1).
+    base = [0.0, 0.0, 10.0, 10.0]
+    boxes = np.array([base, base, base], np.float32)
+    scores = np.array([0.9, 0.8, 0.7], np.float32)
+    classes = np.array([0, 2, 2], np.int32)
+    ob, osc, olab, valid = N.nms_majority(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(classes),
+        num_classes=5, iou_threshold=0.6, max_output=4,
+    )
+    assert int(np.asarray(olab)[0]) == 0
+
+
+def test_majority_vote_tie_takes_smallest_class():
+    # Suppressed classes [3, 3, 1, 1]: tie -> torch.unique sorts ascending,
+    # max-over-counts returns the first (smallest class id) -> 1.
+    base = [0.0, 0.0, 10.0, 10.0]
+    boxes = np.array([base] * 5, np.float32)
+    scores = np.array([0.9, 0.8, 0.7, 0.6, 0.5], np.float32)
+    classes = np.array([0, 3, 3, 1, 1], np.int32)
+    ob, osc, olab, valid = N.nms_majority(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(classes),
+        num_classes=5, iou_threshold=0.6, max_output=4,
+    )
+    assert int(np.asarray(olab)[0]) == 1
+
+
+def test_majority_nms_keeps_disjoint_boxes():
+    boxes = np.array(
+        [[0, 0, 10, 10], [50, 50, 60, 60], [100, 100, 110, 110]], np.float32
+    )
+    scores = np.array([0.9, 0.8, 0.7], np.float32)
+    classes = np.array([1, 2, 3], np.int32)
+    ob, osc, olab, valid = N.nms_majority(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(classes),
+        num_classes=5, iou_threshold=0.6, max_output=4,
+    )
+    assert np.asarray(valid).sum() == 3
+    assert np.asarray(olab)[np.asarray(valid)].tolist() == [1, 2, 3]
