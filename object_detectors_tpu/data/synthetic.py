@@ -1,0 +1,77 @@
+"""Synthetic COCO-format detection data.
+
+Serves the role the reference has no answer for (it has no tests and
+needs real COCO on disk, SURVEY.md §4): a deterministic in-memory dataset
+of random images + boxes in both padded-tensor form (for train/bench) and
+COCO-dict form (for hermetic evaluator tests).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def make_batch(
+    rng: np.random.RandomState,
+    batch_size: int,
+    img_size: int,
+    max_boxes: int = 20,
+    num_classes: int = 80,
+):
+    """Random padded batch: images NHWC f32, gt (rel cxcywh), labels, valid."""
+    images = rng.rand(batch_size, img_size, img_size, 3).astype(np.float32)
+    n_boxes = rng.randint(1, max_boxes + 1, size=batch_size)
+    boxes = np.zeros((batch_size, max_boxes, 4), np.float32)
+    labels = np.zeros((batch_size, max_boxes), np.int32)
+    valid = np.zeros((batch_size, max_boxes), bool)
+    for b in range(batch_size):
+        n = n_boxes[b]
+        cx = rng.uniform(0.1, 0.9, n)
+        cy = rng.uniform(0.1, 0.9, n)
+        w = rng.uniform(0.05, 0.4, n)
+        h = rng.uniform(0.05, 0.4, n)
+        w = np.minimum(w, 2 * np.minimum(cx, 1 - cx))
+        h = np.minimum(h, 2 * np.minimum(cy, 1 - cy))
+        boxes[b, :n] = np.stack([cx, cy, w, h], -1)
+        labels[b, :n] = rng.randint(0, num_classes, n)
+        valid[b, :n] = True
+    return {
+        "images": images,
+        "gt_boxes": boxes,
+        "gt_labels": labels,
+        "gt_valid": valid,
+    }
+
+
+def make_coco_dicts(
+    rng: np.random.RandomState,
+    num_images: int,
+    img_size: int = 128,
+    num_classes: int = 5,
+    max_boxes: int = 6,
+):
+    """COCO-format (images, annotations, categories) dicts for hermetic
+    evaluator tests — boxes in absolute [x, y, w, h]."""
+    images, annotations = [], []
+    ann_id = 1
+    for i in range(1, num_images + 1):
+        images.append({"id": i, "width": img_size, "height": img_size,
+                       "file_name": f"synthetic_{i}.jpg"})
+        for _ in range(rng.randint(1, max_boxes + 1)):
+            w = rng.uniform(8, img_size * 0.5)
+            h = rng.uniform(8, img_size * 0.5)
+            x = rng.uniform(0, img_size - w)
+            y = rng.uniform(0, img_size - h)
+            annotations.append({
+                "id": ann_id,
+                "image_id": i,
+                "category_id": int(rng.randint(1, num_classes + 1)),
+                "bbox": [float(x), float(y), float(w), float(h)],
+                "area": float(w * h),
+                "iscrowd": 0,
+            })
+            ann_id += 1
+    categories = [{"id": c, "name": f"class_{c}"}
+                  for c in range(1, num_classes + 1)]
+    return {"images": images, "annotations": annotations,
+            "categories": categories}
