@@ -1,0 +1,191 @@
+"""ResNet backbones (detection flavor) in Flax NHWC.
+
+Parity with the vendored torchvision ResNet
+(`torchvision_models/utilities/resnet.py:26-389`) as used by detection:
+7x7/s2 stem -> 3x3/s2 maxpool -> 4 bottleneck stages, norm layer
+injectable (FrozenBatchNorm for detection, `tvision/backbone_utils.py:53-120`),
+returning {C2..C5}. BackboneWithFPN composes a ResNet with the FPN
+(+LastLevelMaxPool / LastLevelP6P7) exactly as
+`tvision/backbone_utils.py:15-50` / `retinanet.py:634-635`.
+
+Layer freezing (``trainable_layers``) is a gradient-mask concern in JAX —
+see :func:`trainable_mask` which produces the optax mask matching
+`backbone_utils.py:84-94`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from object_detectors_tpu.models.common import FrozenBatchNorm
+from object_detectors_tpu.models.fpn import FeaturePyramidNetwork
+
+
+def _norm(features, kind: str, dtype, name):
+    if kind == "frozen":
+        return FrozenBatchNorm(features, dtype=dtype, name=name)
+    return nn.BatchNorm(use_running_average=True, momentum=0.9, epsilon=1e-5,
+                        dtype=dtype, param_dtype=jnp.float32, name=name)
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    strides: int = 1
+    downsample: bool = False
+    norm: str = "frozen"
+    dtype: Any = jnp.float32
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
+                      param_dtype=jnp.float32, name="conv1")(x)
+        out = _norm(self.planes, self.norm, self.dtype, "bn1")(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes, (3, 3), strides=(self.strides,) * 2,
+                      padding=((1, 1), (1, 1)), use_bias=False,
+                      dtype=self.dtype, param_dtype=jnp.float32,
+                      name="conv2")(out)
+        out = _norm(self.planes, self.norm, self.dtype, "bn2")(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
+                      dtype=self.dtype, param_dtype=jnp.float32,
+                      name="conv3")(out)
+        out = _norm(self.planes * self.expansion, self.norm, self.dtype,
+                    "bn3")(out)
+        if self.downsample:
+            identity = nn.Conv(self.planes * self.expansion, (1, 1),
+                               strides=(self.strides,) * 2, use_bias=False,
+                               dtype=self.dtype, param_dtype=jnp.float32,
+                               name="down_conv")(x)
+            identity = _norm(self.planes * self.expansion, self.norm,
+                             self.dtype, "down_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    strides: int = 1
+    downsample: bool = False
+    norm: str = "frozen"
+    dtype: Any = jnp.float32
+    expansion: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        out = nn.Conv(self.planes, (3, 3), strides=(self.strides,) * 2,
+                      padding=((1, 1), (1, 1)), use_bias=False,
+                      dtype=self.dtype, param_dtype=jnp.float32,
+                      name="conv1")(x)
+        out = _norm(self.planes, self.norm, self.dtype, "bn1")(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes, (3, 3), padding=((1, 1), (1, 1)),
+                      use_bias=False, dtype=self.dtype,
+                      param_dtype=jnp.float32, name="conv2")(out)
+        out = _norm(self.planes, self.norm, self.dtype, "bn2")(out)
+        if self.downsample:
+            identity = nn.Conv(self.planes, (1, 1),
+                               strides=(self.strides,) * 2, use_bias=False,
+                               dtype=self.dtype, param_dtype=jnp.float32,
+                               name="down_conv")(x)
+            identity = _norm(self.planes, self.norm, self.dtype,
+                             "down_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class ResNet(nn.Module):
+    """layers e.g. (3,4,6,3)=resnet50 bottleneck; block='basic' for 18/34."""
+
+    layers: Sequence[int] = (3, 4, 6, 3)
+    block: str = "bottleneck"
+    norm: str = "frozen"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        block_cls = Bottleneck if self.block == "bottleneck" else BasicBlock
+        expansion = 4 if self.block == "bottleneck" else 1
+
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+                    name="conv1")(x)
+        x = _norm(64, self.norm, self.dtype, "bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        feats = []
+        planes = 64
+        for stage, blocks in enumerate(self.layers):
+            stride = 1 if stage == 0 else 2
+            x = block_cls(planes, stride, downsample=True, norm=self.norm,
+                          dtype=self.dtype,
+                          name=f"layer{stage+1}_block0")(x, train)
+            for i in range(1, blocks):
+                x = block_cls(planes, 1, norm=self.norm, dtype=self.dtype,
+                              name=f"layer{stage+1}_block{i}")(x, train)
+            feats.append(x)
+            planes *= 2
+        return tuple(feats)  # C2, C3, C4, C5
+
+    @property
+    def out_channels(self):
+        e = 4 if self.block == "bottleneck" else 1
+        return tuple(64 * e * (2**i) for i in range(len(self.layers)))
+
+
+def resnet50(norm="frozen", dtype=jnp.float32) -> ResNet:
+    return ResNet((3, 4, 6, 3), "bottleneck", norm, dtype)
+
+
+def resnet18(norm="frozen", dtype=jnp.float32) -> ResNet:
+    return ResNet((2, 2, 2, 2), "basic", norm, dtype)
+
+
+class BackboneWithFPN(nn.Module):
+    """ResNet -> FPN over returned_layers (backbone_utils.py:15-50).
+
+    extra_blocks: "pool" (Faster/Mask R-CNN) or "p6p7" (RetinaNet, fed
+    from C5 per retinanet.py:634-635). returned_layers defaults to all of
+    C2..C5 ("pool") or C3..C5 ("p6p7")."""
+
+    resnet: ResNet
+    out_channels: int = 256
+    extra_blocks: str = "pool"
+    returned_layers: Sequence[int] | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feats = self.resnet(x, train)
+        returned = self.returned_layers or (
+            (1, 2, 3, 4) if self.extra_blocks == "pool" else (2, 3, 4))
+        selected = [feats[i - 1] for i in returned]
+        return FeaturePyramidNetwork(
+            self.out_channels, extra_blocks=self.extra_blocks,
+            dtype=self.resnet.dtype, name="fpn",
+        )(selected, c5=feats[-1])
+
+
+def trainable_mask(params, trainable_layers: int = 3):
+    """optax mask pytree: True where gradients flow. torchvision freezes
+    the first (5 - trainable_layers) of [layer4, layer3, layer2, layer1,
+    conv1] (backbone_utils.py:84-94)."""
+    layers_to_train = ["layer4", "layer3", "layer2", "layer1",
+                       "conv1", "bn1"][:trainable_layers]
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def is_trainable(path):
+        keys = [getattr(p, "key", str(p)) for p in path]
+        joined = "/".join(str(k) for k in keys)
+        if "backbone" not in joined and "resnet" not in joined:
+            return True
+        return any(l in joined for l in layers_to_train)
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: is_trainable(path), params)

@@ -1,0 +1,182 @@
+"""Region Proposal Network — Flax head + functional proposal filtering and
+loss, all static shapes.
+
+Parity with `torchvision_models/tvision/rpn.py:104-370`:
+* RPNHead (:30-61): shared 3x3 conv -> 1x1 objectness (A) and 1x1 deltas
+  (4A) per level; flattened in (h, w, a) order like
+  concat_box_prediction_layers (:64-101).
+* filter_proposals (:230-280): decode (no grad), per-level top-k pre-NMS,
+  clip to image, drop boxes with a side < 1e-3, score threshold, NMS done
+  independently per level (batched_nms over level ids), post-NMS top-n.
+* assign_targets_to_anchors (:179-213): Matcher(0.7, 0.3,
+  allow_low_quality=True); labels 1 fg / 0 bg / -1 discard.
+* compute_loss (:282-318): balanced 256@0.5 sample per image; smooth-L1
+  (beta=1/9, sum) over positives / total sampled count across the batch;
+  BCE mean over all sampled.
+
+TPU design: proposals are a fixed ``post_nms_top_n`` per image with a
+validity mask; the per-image Python loops become vmap; sampling uses
+jax PRNG keys.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from object_detectors_tpu.ops import boxes as box_ops
+from object_detectors_tpu.ops import losses as L
+from object_detectors_tpu.ops import matcher as M
+from object_detectors_tpu.ops import nms as N
+from object_detectors_tpu.ops import sampler as S
+
+
+@dataclasses.dataclass(frozen=True)
+class RPNConfig:
+    fg_iou_thresh: float = 0.7
+    bg_iou_thresh: float = 0.3
+    batch_size_per_image: int = 256
+    positive_fraction: float = 0.5
+    pre_nms_top_n_train: int = 2000
+    pre_nms_top_n_test: int = 1000
+    post_nms_top_n_train: int = 2000
+    post_nms_top_n_test: int = 1000
+    nms_thresh: float = 0.7
+    score_thresh: float = 0.0
+    min_size: float = 1e-3
+    box_weights: tuple = (1.0, 1.0, 1.0, 1.0)
+
+
+class RPNHead(nn.Module):
+    """Shared conv tower across levels (rpn.py:30-61)."""
+
+    num_anchors: int = 3
+    in_channels: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: Sequence[jnp.ndarray]):
+        conv = nn.Conv(self.in_channels, (3, 3), padding=((1, 1), (1, 1)),
+                       kernel_init=nn.initializers.normal(0.01),
+                       dtype=self.dtype, param_dtype=jnp.float32, name="conv")
+        cls_logits = nn.Conv(self.num_anchors, (1, 1),
+                             kernel_init=nn.initializers.normal(0.01),
+                             dtype=self.dtype, param_dtype=jnp.float32,
+                             name="cls_logits")
+        bbox_pred = nn.Conv(self.num_anchors * 4, (1, 1),
+                            kernel_init=nn.initializers.normal(0.01),
+                            dtype=self.dtype, param_dtype=jnp.float32,
+                            name="bbox_pred")
+        obj, reg = [], []
+        for f in features:
+            b = f.shape[0]
+            t = nn.relu(conv(f))
+            obj.append(cls_logits(t).reshape(b, -1))
+            reg.append(bbox_pred(t).reshape(b, -1, 4))
+        level_sizes = tuple(o.shape[1] for o in obj)
+        return jnp.concatenate(obj, 1), jnp.concatenate(reg, 1), level_sizes
+
+
+@partial(jax.jit, static_argnames=("cfg", "level_sizes", "image_size",
+                                   "training"))
+def filter_proposals(
+    proposals: jnp.ndarray,    # [B, A, 4] decoded xyxy
+    objectness: jnp.ndarray,   # [B, A]
+    level_sizes: tuple,
+    image_size: tuple,
+    cfg: RPNConfig,
+    training: bool = False,
+):
+    """-> (boxes [B, P, 4], scores [B, P], valid [B, P]) with
+    P = post_nms_top_n."""
+    pre_n = cfg.pre_nms_top_n_train if training else cfg.pre_nms_top_n_test
+    post_n = (cfg.post_nms_top_n_train if training
+              else cfg.post_nms_top_n_test)
+    objectness = jax.lax.stop_gradient(objectness)
+    proposals = jax.lax.stop_gradient(proposals)
+
+    def per_image(props, obj):
+        sel_boxes, sel_scores, sel_levels = [], [], []
+        start = 0
+        for lvl, ls in enumerate(level_sizes):
+            ob = jax.lax.dynamic_slice_in_dim(obj, start, ls, 0)
+            pr = jax.lax.dynamic_slice_in_dim(props, start, ls, 0)
+            k = min(pre_n, ls)
+            topv, topi = jax.lax.top_k(ob, k)
+            sel_boxes.append(pr[topi])
+            sel_scores.append(topv)
+            sel_levels.append(jnp.full((k,), lvl, jnp.int32))
+            start += ls
+        boxes = jnp.concatenate(sel_boxes, 0)
+        scores = jax.nn.sigmoid(jnp.concatenate(sel_scores, 0))
+        levels = jnp.concatenate(sel_levels, 0)
+
+        boxes = box_ops.clip_boxes_to_image(boxes, image_size)
+        keep = box_ops.small_box_mask(boxes, cfg.min_size)
+        keep &= scores >= cfg.score_thresh
+        ob2, osc, olab, _, ovalid = N.batched_nms(
+            boxes, scores, levels, cfg.nms_thresh, post_n, keep)
+        return ob2, osc, ovalid
+
+    return jax.vmap(per_image)(proposals, objectness)
+
+
+def _assign_per_image(gt_boxes, gt_valid, anchors, cfg: RPNConfig):
+    quality = box_ops.pairwise_iou(gt_boxes, anchors)
+    matched = M.match(quality, gt_valid, cfg.fg_iou_thresh,
+                      cfg.bg_iou_thresh, allow_low_quality_matches=True)
+    labels = jnp.where(matched >= 0, 1.0, 0.0)
+    labels = jnp.where(matched == M.BETWEEN_THRESHOLDS, -1.0, labels)
+    # background image (all gt invalid): torchvision labels everything 0
+    no_gt = ~jnp.any(gt_valid)
+    labels = jnp.where(no_gt, 0.0, labels)
+    midx = jnp.clip(matched, 0)
+    matched_boxes = gt_boxes[midx]
+    matched_boxes = jnp.where(no_gt, 0.0, matched_boxes)
+    return labels, matched_boxes
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def rpn_loss(
+    objectness: jnp.ndarray,     # [B, A] float32
+    pred_deltas: jnp.ndarray,    # [B, A, 4]
+    anchors: jnp.ndarray,        # [A, 4]
+    gt_boxes: jnp.ndarray,       # [B, M, 4] xyxy
+    gt_valid: jnp.ndarray,       # [B, M]
+    key: jax.Array,
+    cfg: RPNConfig,
+):
+    """-> dict(loss_objectness, loss_rpn_box_reg)."""
+    b = objectness.shape[0]
+    labels, matched_boxes = jax.vmap(
+        _assign_per_image, (0, 0, None, None))(gt_boxes, gt_valid, anchors,
+                                               cfg)
+    reg_targets = box_ops.encode_boxes(
+        matched_boxes, anchors[None], cfg.box_weights)
+    # Degenerate matched boxes (background images match zero-padding GT)
+    # produce +/-inf/nan targets; those rows are never positives, but
+    # inf * 0 = NaN in the masked sum, so zero them outright.
+    reg_targets = jnp.where((labels >= 1.0)[..., None],
+                            jnp.nan_to_num(reg_targets), 0.0)
+
+    keys = jax.random.split(key, b)
+    pos_mask, neg_mask = jax.vmap(
+        lambda l, k: S.balanced_sample(
+            l.astype(jnp.int32), k, cfg.batch_size_per_image,
+            cfg.positive_fraction)
+    )(labels, keys)
+
+    sampled = pos_mask | neg_mask
+    num_sampled = jnp.maximum(jnp.sum(sampled), 1).astype(objectness.dtype)
+
+    box_l = L.smooth_l1_loss(pred_deltas, reg_targets, beta=1.0 / 9).sum(-1)
+    loss_box = jnp.sum(box_l * pos_mask) / num_sampled
+
+    obj_l = L.sigmoid_binary_cross_entropy(objectness, labels)
+    loss_obj = jnp.sum(obj_l * sampled) / num_sampled
+    return {"loss_objectness": loss_obj, "loss_rpn_box_reg": loss_box}

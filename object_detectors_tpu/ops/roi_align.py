@@ -1,0 +1,130 @@
+"""RoIAlign + MultiScaleRoIAlign (FPN) as vectorized XLA gathers.
+
+Replaces the CUDA `torchvision.ops.roi_align` / `MultiScaleRoIAlign`
+(`tvision/roi_heads.py:11,149`, `frcnn.py:207-211`) with the same math:
+
+* aligned=False legacy semantics: box coords scaled by ``spatial_scale``
+  with no half-pixel offset; each output bin averages ``sampling_ratio^2``
+  bilinear samples placed at the torchvision grid positions.
+* FPN level assignment (torchvision LevelMapper):
+  k = floor(k0 + log2(sqrt(area)/224 + eps)), clamped to the available
+  levels.
+
+TPU design: static shapes — RoIAlign runs on every level for all N rois
+and the per-roi level choice is a select, which keeps one fused program
+(no ragged per-level gathers). N is the padded proposal count.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def _bilinear_gather(feat: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray):
+    """feat [H, W, C]; ys/xs [...]: bilinear sample -> [..., C].
+
+    torchvision bilinear_interpolate semantics: samples with y/x outside
+    [-1, H] x [-1, W] return 0; coords < 0 clamp to 0.
+    """
+    h, w, _ = feat.shape
+    outside = (ys < -1.0) | (ys > h) | (xs < -1.0) | (xs > w)
+    y = jnp.clip(ys, 0.0, h - 1)
+    x = jnp.clip(xs, 0.0, w - 1)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    ly = (y - y0.astype(y.dtype))[..., None]
+    lx = (x - x0.astype(x.dtype))[..., None]
+    hy, hx = 1.0 - ly, 1.0 - lx
+    v00 = feat[y0, x0]
+    v01 = feat[y0, x1]
+    v10 = feat[y1, x0]
+    v11 = feat[y1, x1]
+    out = hy * hx * v00 + hy * lx * v01 + ly * hx * v10 + ly * lx * v11
+    return jnp.where(outside[..., None], 0.0, out)
+
+
+@partial(jax.jit, static_argnames=("output_size", "spatial_scale",
+                                   "sampling_ratio"))
+def roi_align(
+    features: jnp.ndarray,     # [H, W, C]
+    boxes: jnp.ndarray,        # [N, 4] xyxy in image coords
+    output_size: tuple = (7, 7),
+    spatial_scale: float = 1.0,
+    sampling_ratio: int = 2,
+) -> jnp.ndarray:
+    """-> [N, oh, ow, C]."""
+    oh, ow = output_size
+    s = sampling_ratio
+    b = boxes * spatial_scale
+    x1, y1, x2, y2 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+    roi_w = jnp.maximum(x2 - x1, 1.0)
+    roi_h = jnp.maximum(y2 - y1, 1.0)
+    bin_w = roi_w / ow
+    bin_h = roi_h / oh
+
+    # sample grid: for bin (i,j), sample points at
+    # y = y1 + i*bin_h + (k+0.5)*bin_h/s for k in range(s)
+    iy = jnp.arange(oh, dtype=features.dtype)
+    ix = jnp.arange(ow, dtype=features.dtype)
+    ky = (jnp.arange(s, dtype=features.dtype) + 0.5) / s
+    kx = (jnp.arange(s, dtype=features.dtype) + 0.5) / s
+
+    # ys: [N, oh, s] ; xs: [N, ow, s]
+    ys = (y1[:, None, None]
+          + (iy[None, :, None] + ky[None, None, :]) * bin_h[:, None, None])
+    xs = (x1[:, None, None]
+          + (ix[None, :, None] + kx[None, None, :]) * bin_w[:, None, None])
+
+    # full grid [N, oh, ow, s, s]
+    n = boxes.shape[0]
+    ys_g = jnp.broadcast_to(ys[:, :, None, :, None], (n, oh, ow, s, s))
+    xs_g = jnp.broadcast_to(xs[:, None, :, None, :], (n, oh, ow, s, s))
+
+    samples = _bilinear_gather(features, ys_g, xs_g)  # [N,oh,ow,s,s,C]
+    return jnp.mean(samples, axis=(3, 4))
+
+
+def assign_fpn_levels(
+    boxes: jnp.ndarray,
+    num_levels: int,
+    canonical_scale: int = 224,
+    canonical_level: int = 4,
+    min_level: int = 2,
+) -> jnp.ndarray:
+    """torchvision LevelMapper: [N] level index in [0, num_levels)."""
+    area = jnp.clip(
+        (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1]), 0)
+    k = jnp.floor(
+        canonical_level + jnp.log2(jnp.sqrt(area) / canonical_scale + 1e-6))
+    return jnp.clip(k - min_level, 0, num_levels - 1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("output_size", "sampling_ratio",
+                                   "image_size"))
+def multiscale_roi_align(
+    features: Sequence[jnp.ndarray],   # per level [H_l, W_l, C]
+    boxes: jnp.ndarray,                # [N, 4] xyxy image coords
+    image_size: tuple,                 # (H, W)
+    output_size: tuple = (7, 7),
+    sampling_ratio: int = 2,
+) -> jnp.ndarray:
+    """-> [N, oh, ow, C]. Computes RoIAlign on every level, then selects
+    per-roi by the FPN level assignment (static-shape alternative to the
+    reference's ragged per-level gather)."""
+    num_levels = len(features)
+    levels = assign_fpn_levels(boxes, num_levels)
+    per_level = []
+    for lvl, feat in enumerate(features):
+        scale = feat.shape[0] / image_size[0]
+        per_level.append(
+            roi_align(feat, boxes, output_size, scale, sampling_ratio))
+    stacked = jnp.stack(per_level, axis=0)  # [L, N, oh, ow, C]
+    return jnp.take_along_axis(
+        stacked, levels[None, :, None, None, None], axis=0)[0]

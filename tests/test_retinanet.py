@@ -1,0 +1,157 @@
+"""RetinaNet tests: anchor generation golden values, head shapes, loss
+semantics (fg normalization, BETWEEN exclusion), static postprocess."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from object_detectors_tpu.models import anchors as A
+from object_detectors_tpu.models import retinanet as R
+from object_detectors_tpu.ops import boxes as box_ops
+
+
+def test_cell_anchors_golden():
+    # scale 128, ar 1.0 -> [-64,-64,64,64]
+    base = A.cell_anchors([128], [1.0])
+    np.testing.assert_array_equal(base, [[-64, -64, 64, 64]])
+    # ar 2.0 (h/w=2): h=128*sqrt2, w=128/sqrt2 -> rounded halves
+    base2 = A.cell_anchors([128], [2.0])
+    w, h = 128 / np.sqrt(2), 128 * np.sqrt(2)
+    np.testing.assert_array_equal(
+        base2, [np.round([-w / 2, -h / 2, w / 2, h / 2])])
+
+
+def test_grid_anchors_count_and_positions():
+    sizes, ars = A.rpn_anchor_config()
+    grids = [(8, 8), (4, 4), (2, 2), (1, 1), (1, 1)]
+    anc = A.grid_anchors((64, 64), grids, sizes, ars)
+    expected = sum(h * w * 3 for h, w in grids)
+    assert anc.shape == (expected, 4)
+    # first anchor: cell (0,0) of level 0, size 32 ar 0.5
+    base = A.cell_anchors([32], [0.5, 1.0, 2.0])
+    np.testing.assert_array_equal(anc[:3], base)
+    # second cell shifted by stride 8 in x
+    np.testing.assert_array_equal(anc[3], base[0] + [8, 0, 8, 0])
+
+
+def test_retinanet_anchor_config_octaves():
+    sizes, _ = A.retinanet_anchor_config()
+    assert sizes[0] == (32, 40, 50)  # 32 * 2^(0,1/3,2/3) int-truncated
+    assert len(sizes) == 5
+
+
+def test_ssd_default_boxes_shape():
+    boxes = A.ssd_default_boxes(
+        (300, 300),
+        [(38, 38), (19, 19), (10, 10), (5, 5), (3, 3), (1, 1)])
+    expected = (38 * 38 * 4 + 19 * 19 * 6 + 10 * 10 * 6 + 5 * 5 * 6
+                + 3 * 3 * 4 + 1 * 1 * 4)
+    assert boxes.shape == (expected, 4)
+    # centers of level 0 are at (0.5/37.5)*300 = 4 px steps of 8
+    w = boxes[0, 2] - boxes[0, 0]
+    assert 0 < w < 300
+
+
+@pytest.fixture(scope="module")
+def tiny_retinanet():
+    model = R.RetinaNet(num_classes=5, resnet_layers=(1, 1, 1, 1))
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.key(0), x, train=False)
+    return model, variables
+
+
+def test_retinanet_forward_shapes(tiny_retinanet):
+    model, variables = tiny_retinanet
+    x = jnp.zeros((2, 64, 64, 3))
+    cls, reg, level_sizes = model.apply(variables, x, train=False)
+    # levels: P3 (8x8), P4 (4x4), P5 (2x2), P6 (1x1), P7 (1x1), A=9
+    assert level_sizes == (8 * 8 * 9, 4 * 4 * 9, 2 * 2 * 9, 9, 9)
+    total = sum(level_sizes)
+    assert cls.shape == (2, total, 5)
+    assert reg.shape == (2, total, 4)
+
+
+def test_retinanet_cls_bias_prior(tiny_retinanet):
+    """Prior-prob init: sigmoid(bias) ~ 0.01 on fresh model."""
+    model, variables = tiny_retinanet
+    x = jnp.zeros((1, 64, 64, 3))
+    cls, _, _ = model.apply(variables, x, train=False)
+    probs = np.asarray(jax.nn.sigmoid(cls))
+    assert probs.mean() == pytest.approx(0.01, rel=0.5)
+
+
+def _loss_inputs(num_anchors=32, num_classes=5):
+    rng = np.random.RandomState(0)
+    anchors = np.zeros((num_anchors, 4), np.float32)
+    xy = rng.rand(num_anchors, 2) * 50
+    anchors[:, :2] = xy
+    anchors[:, 2:] = xy + 10
+    cls = jnp.asarray(rng.randn(2, num_anchors, num_classes) * 0.01)
+    reg = jnp.asarray(rng.randn(2, num_anchors, 4) * 0.01)
+    gt_boxes = jnp.asarray(np.array([
+        [list(anchors[0]), list(anchors[5])],
+        [list(anchors[3]), [0, 0, 0, 0]],
+    ], np.float32))
+    gt_labels = jnp.asarray([[1, 2], [3, 0]], dtype=jnp.int32)
+    gt_valid = jnp.asarray([[True, True], [True, False]])
+    return jnp.asarray(anchors), cls, reg, gt_boxes, gt_labels, gt_valid
+
+
+def test_retinanet_loss_finite_and_positive():
+    anchors, cls, reg, gb, gl, gv = _loss_inputs()
+    cfg = R.RetinaNetConfig(num_classes=5)
+    out = R.retinanet_loss(cls, reg, anchors, gb, gl, gv, cfg)
+    assert np.isfinite(float(out["classification"]))
+    assert np.isfinite(float(out["bbox_regression"]))
+    assert float(out["classification"]) > 0
+
+
+def test_retinanet_loss_perfect_regression_zero():
+    """If predictions equal encoded targets on fg anchors, reg loss = 0."""
+    anchors, cls, reg, gb, gl, gv = _loss_inputs()
+    cfg = R.RetinaNetConfig(num_classes=5)
+    # GT == anchors exactly -> encoded deltas are 0 -> zero pred = perfect
+    out = R.retinanet_loss(cls, jnp.zeros_like(reg), anchors, gb, gl, gv, cfg)
+    assert float(out["bbox_regression"]) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_retinanet_loss_padding_invariance():
+    anchors, cls, reg, gb, gl, gv = _loss_inputs()
+    cfg = R.RetinaNetConfig(num_classes=5)
+    o1 = R.retinanet_loss(cls, reg, anchors, gb, gl, gv, cfg)
+    pad_b = jnp.concatenate([gb, jnp.ones((2, 3, 4)) * 7.0], axis=1)
+    pad_l = jnp.concatenate([gl, jnp.ones((2, 3), jnp.int32)], axis=1)
+    pad_v = jnp.concatenate([gv, jnp.zeros((2, 3), bool)], axis=1)
+    o2 = R.retinanet_loss(cls, reg, anchors, pad_b, pad_l, pad_v, cfg)
+    np.testing.assert_allclose(float(o1["classification"]),
+                               float(o2["classification"]), rtol=1e-5)
+    np.testing.assert_allclose(float(o1["bbox_regression"]),
+                               float(o2["bbox_regression"]), rtol=1e-5)
+
+
+def test_retinanet_postprocess_finds_planted_box(tiny_retinanet):
+    """Plant a confident logit at one anchor; postprocess must return it."""
+    num_classes = 5
+    cfg = R.RetinaNetConfig(num_classes=num_classes, score_thresh=0.05,
+                            detections_per_img=10, topk_candidates=50)
+    sizes, ars = A.retinanet_anchor_config()
+    grids = [(8, 8), (4, 4), (2, 2), (1, 1), (1, 1)]
+    anchors = jnp.asarray(A.grid_anchors((64, 64), grids, sizes, ars))
+    level_sizes = tuple(h * w * 9 for h, w in grids)
+    total = sum(level_sizes)
+
+    cls = np.full((1, total, num_classes), -10.0, np.float32)
+    cls[0, 100, 3] = 5.0  # one hot anchor, class 3
+    reg = np.zeros((1, total, 4), np.float32)
+    boxes, scores, labels, valid = R.retinanet_postprocess(
+        jnp.asarray(cls), jnp.asarray(reg), anchors, level_sizes,
+        (64, 64), cfg)
+    v = np.asarray(valid[0])
+    assert v.sum() == 1
+    assert int(np.asarray(labels)[0, 0]) == 3
+    assert float(np.asarray(scores)[0, 0]) == pytest.approx(
+        1 / (1 + np.exp(-5.0)), rel=1e-4)
+    expected_box = box_ops.clip_boxes_to_image(anchors[100], (64, 64))
+    np.testing.assert_allclose(np.asarray(boxes)[0, 0],
+                               np.asarray(expected_box), atol=1e-3)

@@ -85,11 +85,12 @@ def test_dp_matches_single_device():
     mesh = M.make_mesh()
     state = _make_state()
     batch = _batch(8)
+    # the step donates its state arg -> copy for the second run first
+    state_r = M.put_replicated(state, mesh)
     _, m1 = T.yolo_train_step(
         state, batch["images"], batch["gt_boxes"], batch["gt_labels"],
         batch["gt_valid"], CFG, NUM_CLASSES)
     sharded = M.put_sharded(batch, mesh)
-    state_r = M.put_replicated(state, mesh)
     _, m2 = T.yolo_train_step(
         state_r, sharded["images"], sharded["gt_boxes"],
         sharded["gt_labels"], sharded["gt_valid"], CFG, NUM_CLASSES)

@@ -1,0 +1,210 @@
+"""RPN + RoIHeads + Faster R-CNN tests (tiny backbone, hermetic)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from object_detectors_tpu.models import anchors as A
+from object_detectors_tpu.models import faster_rcnn as F
+from object_detectors_tpu.models import roi_heads as RH
+from object_detectors_tpu.models import rpn as RPN
+from object_detectors_tpu.ops import boxes as box_ops
+
+
+TINY_RPN = RPN.RPNConfig(
+    pre_nms_top_n_train=64, pre_nms_top_n_test=64,
+    post_nms_top_n_train=32, post_nms_top_n_test=16,
+    batch_size_per_image=32)
+TINY_ROI = RH.RoIHeadsConfig(
+    num_classes=5, batch_size_per_image=16, detections_per_img=8)
+
+
+def test_rpn_filter_proposals_static_output():
+    rng = np.random.RandomState(0)
+    level_sizes = (8 * 8 * 3, 4 * 4 * 3)
+    total = sum(level_sizes)
+    props = jnp.asarray(rng.rand(2, total, 4).astype(np.float32) * 30)
+    props = jnp.concatenate([props[..., :2], props[..., :2] + 5 +
+                             props[..., 2:]], -1)
+    obj = jnp.asarray(rng.randn(2, total).astype(np.float32))
+    boxes, scores, valid = RPN.filter_proposals(
+        props, obj, level_sizes, (64, 64), TINY_RPN, training=False)
+    assert boxes.shape == (2, 16, 4)
+    assert scores.shape == (2, 16)
+    v = np.asarray(valid)
+    assert v.any()
+    # scores sorted descending among valid
+    s = np.asarray(scores)
+    for b in range(2):
+        sv = s[b][v[b]]
+        assert (np.diff(sv) <= 1e-6).all()
+
+
+def test_rpn_loss_finite_and_balanced():
+    rng = np.random.RandomState(1)
+    anchors = A.grid_anchors((64, 64), [(8, 8)], ((16,),), ((0.5, 1.0, 2.0),))
+    n = anchors.shape[0]
+    obj = jnp.asarray(rng.randn(2, n).astype(np.float32))
+    deltas = jnp.asarray(rng.randn(2, n, 4).astype(np.float32) * 0.01)
+    gt = jnp.asarray(np.array([
+        [[5, 5, 25, 25], [30, 30, 60, 60]],
+        [[10, 10, 40, 40], [0, 0, 0, 0]],
+    ], np.float32))
+    gv = jnp.asarray([[True, True], [True, False]])
+    out = RPN.rpn_loss(obj, deltas, jnp.asarray(anchors), gt, gv,
+                       jax.random.key(0), TINY_RPN)
+    assert np.isfinite(float(out["loss_objectness"]))
+    assert np.isfinite(float(out["loss_rpn_box_reg"]))
+    assert float(out["loss_objectness"]) > 0
+
+
+def test_rpn_loss_background_image():
+    """All-invalid GT (background image) must not produce NaNs."""
+    rng = np.random.RandomState(2)
+    anchors = A.grid_anchors((64, 64), [(4, 4)], ((16,),), ((1.0,),))
+    n = anchors.shape[0]
+    obj = jnp.asarray(rng.randn(1, n).astype(np.float32))
+    deltas = jnp.asarray(rng.randn(1, n, 4).astype(np.float32) * 0.01)
+    gt = jnp.zeros((1, 2, 4))
+    gv = jnp.zeros((1, 2), bool)
+    out = RPN.rpn_loss(obj, deltas, jnp.asarray(anchors), gt, gv,
+                       jax.random.key(0), TINY_RPN)
+    assert np.isfinite(float(out["loss_objectness"]))
+    assert np.isfinite(float(out["loss_rpn_box_reg"]))
+
+
+def test_select_training_samples_includes_gt():
+    """GT boxes are appended to proposals, so a GT-exact positive must
+    exist even with junk proposals."""
+    rng = np.random.RandomState(3)
+    proposals = jnp.asarray(rng.rand(1, 24, 4).astype(np.float32) * 5)
+    prop_valid = jnp.ones((1, 24), bool)
+    gt = jnp.asarray([[[10, 10, 30, 30], [40, 40, 60, 60]]], jnp.float32)
+    gl = jnp.asarray([[2, 4]], jnp.int32)
+    gv = jnp.ones((1, 2), bool)
+    s_boxes, s_labels, reg_t, s_pos, s_sampled = RH.select_training_samples(
+        proposals, prop_valid, gt, gl, gv, jax.random.key(0), TINY_ROI)
+    assert s_boxes.shape == (1, 16, 4)
+    pos_labels = np.asarray(s_labels)[np.asarray(s_pos)]
+    assert set(pos_labels.tolist()) <= {2, 4}
+    assert len(pos_labels) >= 2  # both GT self-matches are positives
+    # positive reg targets for GT-exact proposals are ~0
+    pos_t = np.asarray(reg_t)[np.asarray(s_pos)]
+    assert np.abs(pos_t).max() < 1e-4
+
+
+def test_fastrcnn_loss_ce_and_variants():
+    rng = np.random.RandomState(4)
+    b, s, c = 2, 16, 5
+    logits = jnp.asarray(rng.randn(b, s, c).astype(np.float32))
+    reg = jnp.asarray(rng.randn(b, s, c * 4).astype(np.float32) * 0.01)
+    labels = jnp.asarray(rng.randint(0, c, (b, s)), dtype=jnp.int32)
+    reg_t = jnp.asarray(rng.randn(b, s, 4).astype(np.float32) * 0.01)
+    sampled = jnp.ones((b, s), bool)
+    for lt in ("ce", "bce", "focal_loss", "gombit", "gombit_fl"):
+        cfg = RH.RoIHeadsConfig(num_classes=c, loss_type=lt)
+        out = RH.fastrcnn_loss(logits, reg, labels, reg_t, sampled, cfg)
+        assert np.isfinite(float(out["loss_classifier"])), lt
+        assert np.isfinite(float(out["loss_box_reg"])), lt
+
+
+def test_postprocess_detections_planted():
+    c = 5
+    cfg = RH.RoIHeadsConfig(num_classes=c, detections_per_img=4,
+                            score_thresh=0.05)
+    p = 8
+    logits = np.full((1, p, c), -8.0, np.float32)
+    logits[0, 2, 3] = 8.0  # proposal 2 -> class 3
+    logits[0, :, 0] = 0.0  # background logits neutral
+    reg = np.zeros((1, p, c * 4), np.float32)
+    proposals = np.tile(
+        np.array([[5, 5, 20, 20]], np.float32), (p, 1))[None]
+    proposals[0, 2] = [10, 10, 40, 40]
+    valid = np.ones((1, p), bool)
+    boxes, scores, labels, ovalid = RH.postprocess_detections(
+        jnp.asarray(logits), jnp.asarray(reg), jnp.asarray(proposals),
+        jnp.asarray(valid), (64, 64), cfg)
+    v = np.asarray(ovalid)[0]
+    assert v.sum() >= 1
+    assert int(np.asarray(labels)[0, 0]) == 3
+    np.testing.assert_allclose(np.asarray(boxes)[0, 0], [10, 10, 40, 40],
+                               atol=1e-3)
+
+
+@pytest.fixture(scope="module")
+def tiny_frcnn():
+    cfg = F.FasterRCNNConfig(
+        num_classes=5, rpn=TINY_RPN, roi=TINY_ROI, resnet_layers=(1, 1, 1, 1))
+    model = F.FasterRCNN(cfg)
+    x = jnp.zeros((1, 64, 64, 3))
+    gt = jnp.asarray([[[10, 10, 30, 30]]], jnp.float32)
+    gl = jnp.asarray([[2]], jnp.int32)
+    gv = jnp.ones((1, 1), bool)
+    variables = model.init(
+        {"params": jax.random.key(0), "sampler": jax.random.key(1)},
+        x, gt, gl, gv, train=True)
+    return model, variables
+
+
+def test_faster_rcnn_train_losses(tiny_frcnn):
+    model, variables = tiny_frcnn
+    x = jnp.zeros((2, 64, 64, 3))
+    gt = jnp.asarray([[[10, 10, 30, 30]], [[20, 20, 50, 50]]], jnp.float32)
+    gl = jnp.asarray([[2], [4]], jnp.int32)
+    gv = jnp.ones((2, 1), bool)
+    losses = model.apply(variables, x, gt, gl, gv, train=True,
+                         rngs={"sampler": jax.random.key(2)})
+    assert set(losses) == {"loss_classifier", "loss_box_reg",
+                           "loss_objectness", "loss_rpn_box_reg"}
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+
+
+def test_faster_rcnn_eval_detections(tiny_frcnn):
+    model, variables = tiny_frcnn
+    x = jnp.zeros((1, 64, 64, 3))
+    boxes, scores, labels, valid = model.apply(variables, x, train=False)
+    assert boxes.shape == (1, TINY_ROI.detections_per_img, 4)
+    assert np.isfinite(np.asarray(boxes)).all()
+
+
+def test_faster_rcnn_grads_flow(tiny_frcnn):
+    model, variables = tiny_frcnn
+    x = jnp.ones((1, 64, 64, 3)) * 0.5
+    gt = jnp.asarray([[[10, 10, 30, 30]]], jnp.float32)
+    gl = jnp.asarray([[2]], jnp.int32)
+    gv = jnp.ones((1, 1), bool)
+
+    def loss_fn(params):
+        out = model.apply(
+            {**variables, "params": params}, x, gt, gl, gv, train=True,
+            rngs={"sampler": jax.random.key(3)})
+        return sum(out.values())
+
+    g = jax.grad(loss_fn)(variables["params"])
+    gnorm = float(jnp.sqrt(sum(
+        jnp.sum(x_ ** 2) for x_ in jax.tree_util.tree_leaves(g))))
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_faster_rcnn_background_image_finite(tiny_frcnn):
+    """Regression: images with zero GT must give finite losses AND
+    gradients (log(0) box encodings used to leak inf through the mask)."""
+    model, variables = tiny_frcnn
+    x = jnp.ones((1, 64, 64, 3)) * 0.3
+    gt = jnp.zeros((1, 1, 4))
+    gl = jnp.zeros((1, 1), jnp.int32)
+    gv = jnp.zeros((1, 1), bool)
+
+    def loss_fn(params):
+        out = model.apply(
+            {**variables, "params": params}, x, gt, gl, gv, train=True,
+            rngs={"sampler": jax.random.key(5)})
+        return sum(out.values())
+
+    loss, g = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(loss))
+    gnorm = float(jnp.sqrt(sum(
+        jnp.sum(x_ ** 2) for x_ in jax.tree_util.tree_leaves(g))))
+    assert np.isfinite(gnorm)
