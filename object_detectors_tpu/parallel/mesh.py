@@ -47,6 +47,16 @@ def make_mesh(
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
 
+def make_mesh_for_batch(batch_size: int, model: int = 1,
+                        devices=None) -> Mesh:
+    """Mesh whose data axis is the largest divisor of ``batch_size`` that
+    fits the available devices (so [B, ...] arrays always shard cleanly)."""
+    devices = list(devices if devices is not None else jax.devices())
+    avail = len(devices) // model
+    data = max(d for d in range(1, avail + 1) if batch_size % d == 0)
+    return make_mesh(devices[: data * model], data=data, model=model)
+
+
 def shard_batch(mesh: Mesh) -> NamedSharding:
     """Sharding for [B, ...] arrays: batch over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))
