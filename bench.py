@@ -1,32 +1,45 @@
 """Benchmark harness — the reference `yolo/benchmark.py` protocol rebuilt
 for TPU: end-to-end YOLOv3 COCO-val-shaped inference throughput
-(images/sec/chip) as one jitted program (forward + decode + top-k + NMS,
-zero host round-trips), swept over batch sizes.
+(images/sec/chip) as one jitted program, swept over batch sizes.
+
+Optimizations over the naive pipeline:
+* scores/labels computed straight from raw logits (sigmoid(obj) *
+  exp(max - logsumexp)) — no full [B, P, 85] decode materialization;
+* only the top-k candidate rows are gathered and decoded to boxes;
+* majority-vote NMS is the K-step select-max scan (ops/nms.py);
+* bfloat16 backbone, f32 box math;
+* persistent XLA compilation cache (first driver run warm-starts).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` is value / 4000 (the BASELINE.json north-star 4000
-imgs/sec/chip at 640², v5e-8).
+``vs_baseline`` is value / 500 — the BASELINE.json north star is 4000
+imgs/sec e2e on a v5e-8 (8 chips), i.e. 500 imgs/sec/chip.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from object_detectors_tpu.models import yolo_criterion as YC
 from object_detectors_tpu.models.yolo import YoloHead
 from object_detectors_tpu.ops import nms as N
 
-NORTH_STAR = 4000.0  # imgs/sec/chip e2e at 640^2 (BASELINE.json)
+PER_CHIP_TARGET = 500.0  # 4000 imgs/sec on v5e-8 => 500/chip
 
 
 def build_pipeline(num_classes=80, img_size=640, topk=512, max_det=100,
-                   dtype=jnp.bfloat16):
+                   dtype=jnp.bfloat16, conf=0.1, iou_thr=0.6):
     cfg = YC.YoloLossConfig(num_classes=num_classes, img_size=img_size)
     model = YoloHead(num_classes=num_classes, dtype=dtype)
     x0 = jnp.zeros((1, img_size, img_size, 3), dtype)
@@ -35,26 +48,37 @@ def build_pipeline(num_classes=80, img_size=640, topk=512, max_det=100,
     @jax.jit
     def infer(images):
         outs = model.apply(variables, images, train=False)
-        raw = YC.flatten_raw_outputs(outs, num_classes, 3).astype(jnp.float32)
+        raw = YC.flatten_raw_outputs(outs, num_classes, 3)
         priors, gw = YC.make_priors(cfg, tuple(o.shape[1] for o in outs))
-        dec = YC.yolo_decode(raw, priors, gw, cfg)
-        score = dec[..., 4] * jnp.max(dec[..., 5:], -1)
-        cls = jnp.argmax(dec[..., 5:], -1)
+
+        obj = raw[..., 4].astype(jnp.float32)
+        logits = raw[..., 5:].astype(jnp.float32)
+        max_l = jnp.max(logits, -1)
+        lse = jax.nn.logsumexp(logits, -1)
+        score = jax.nn.sigmoid(obj) * jnp.exp(max_l - lse)
+        label = jnp.argmax(logits, -1).astype(jnp.int32)
+
         topv, topi = jax.lax.top_k(score, topk)
-        xy, wh = dec[..., :2], dec[..., 2:4]
-        xyxy = jnp.concatenate([xy - wh / 2, xy + wh / 2], -1)
-        boxes = jnp.take_along_axis(xyxy, topi[..., None], axis=1)
-        labels = jnp.take_along_axis(cls, topi, axis=1)
-        keep_valid = topv > 0.1  # reference inf_confidence
+        sel = jnp.take_along_axis(
+            raw[..., :4].astype(jnp.float32), topi[..., None], 1)
+        sel_priors = priors[topi]
+        sel_gw = gw[topi]
+        strides = (img_size / sel_gw)[..., None]
+        xy = (jax.nn.sigmoid(sel[..., 0:2])
+              + sel_priors[..., 0:2] * sel_gw[..., None] - 0.5) * strides
+        wh = jnp.exp(sel[..., 2:4]) * sel_priors[..., 2:4] \
+            * sel_gw[..., None] * strides
+        boxes = jnp.concatenate([xy - wh / 2, xy + wh / 2], -1)
+        labels = jnp.take_along_axis(label, topi, 1)
         f = jax.vmap(lambda b, s, c, v: N.nms_majority(
-            b, s, c, num_classes=num_classes, iou_threshold=0.6,
+            b, s, c, num_classes=num_classes, iou_threshold=iou_thr,
             max_output=max_det, valid=v))
-        return f(boxes, topv, labels, keep_valid)
+        return f(boxes, topv, labels, topv > conf)
 
     return infer
 
 
-def run(batch_sizes=(16,), img_size=640, warmup=2, iters=8):
+def run(batch_sizes=(32,), img_size=640, warmup=2, iters=10):
     infer = build_pipeline(img_size=img_size)
     best = 0.0
     results = {}
@@ -80,6 +104,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="single small batch size for smoke runs")
+    ap.add_argument("--full", action="store_true",
+                    help="reference-style batch sweep (slow compiles)")
     ap.add_argument("--img-size", type=int, default=640)
     ap.add_argument("--batch-sizes", type=int, nargs="*", default=None)
     args = ap.parse_args()
@@ -88,15 +114,17 @@ def main():
         sizes = tuple(args.batch_sizes)
     elif args.quick:
         sizes = (4,)
+    elif args.full:
+        sizes = (2, 4, 8, 16, 32, 64, 128)
     else:
-        sizes = (8, 16, 32, 64)
+        sizes = (32,)
 
     best, results = run(sizes, args.img_size)
     print(json.dumps({
         "metric": f"yolov3_{args.img_size}sq_e2e_inference_throughput",
         "value": round(best, 2),
         "unit": "images/sec/chip",
-        "vs_baseline": round(best / NORTH_STAR, 4),
+        "vs_baseline": round(best / PER_CHIP_TARGET, 4),
         "per_batch": {str(k): round(v, 2) for k, v in results.items()},
         "device": str(jax.devices()[0].platform),
     }))

@@ -45,6 +45,33 @@ def _sorted_suppression_matrix(boxes_sorted: jnp.ndarray,
     return jax.lax.fori_loop(0, n, body, jnp.zeros((n,), bool))
 
 
+def _select_max_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
+                    iou_threshold: float, max_output: int):
+    """Exact greedy NMS via max_output select-argmax steps (TPU-friendly:
+    K sequential steps of O(N) vector work instead of N steps).
+
+    scores: -inf marks invalid. Returns (keep_idx [K] into input, valid
+    [K]); keep order is score-descending (greedy order).
+    """
+    n = boxes.shape[0]
+    iou = box_ops.pairwise_iou(boxes, boxes)  # [N, N]
+
+    def body(carry, _):
+        alive_scores = carry
+        i = jnp.argmax(alive_scores)
+        ok = jnp.isfinite(alive_scores[i])
+        row = iou[i]
+        kill = (row > iou_threshold) | (
+            jnp.arange(n) == i)
+        alive_scores = jnp.where(
+            ok & kill, -jnp.inf, alive_scores)
+        return alive_scores, (jnp.where(ok, i, -1), ok)
+
+    _, (keep_idx, valid) = jax.lax.scan(
+        body, scores, None, length=max_output)
+    return keep_idx.astype(jnp.int32), valid
+
+
 @partial(jax.jit, static_argnames=("iou_threshold", "max_output"))
 def nms(
     boxes: jnp.ndarray,
@@ -66,28 +93,13 @@ def nms(
     Returns:
       (boxes [K,4], scores [K], keep_idx [K] into the input, valid [K]).
     """
-    n = boxes.shape[0]
     s = scores if valid is None else jnp.where(valid, scores, -jnp.inf)
-    order = jnp.argsort(-s)
-    b_sorted = boxes[order]
-    s_sorted = s[order]
-
-    suppressed = _sorted_suppression_matrix(b_sorted, iou_threshold)
-    keep = (~suppressed) & jnp.isfinite(s_sorted)
-
-    # Compact kept entries (already score-ordered) into the first K slots;
-    # rows beyond K scatter to index==max_output which mode="drop" discards.
-    rank = jnp.cumsum(keep) - 1  # rank of each kept row
-    in_range = keep & (rank < max_output)
-    src = jnp.full((max_output,), -1, jnp.int32).at[
-        jnp.where(in_range, rank, max_output)
-    ].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
-
-    out_valid = src >= 0
-    src_c = jnp.clip(src, 0)
-    out_boxes = jnp.where(out_valid[:, None], b_sorted[src_c], 0.0)
-    out_scores = jnp.where(out_valid, s_sorted[src_c], 0.0)
-    keep_idx = jnp.where(out_valid, order[src_c], -1)
+    keep_idx, out_valid = _select_max_nms(boxes, s, iou_threshold,
+                                          max_output)
+    idx_c = jnp.clip(keep_idx, 0)
+    out_boxes = jnp.where(out_valid[:, None], boxes[idx_c], 0.0)
+    out_scores = jnp.where(out_valid, s[idx_c], 0.0)
+    keep_idx = jnp.where(out_valid, keep_idx, -1)
     return out_boxes, out_scores, keep_idx, out_valid
 
 
@@ -138,43 +150,33 @@ def nms_majority(
     """
     n = boxes.shape[0]
     s = scores if valid is None else jnp.where(valid, scores, -jnp.inf)
-    order = jnp.argsort(-s)
-    b_sorted = boxes[order]
-    s_sorted = s[order]
-    c_sorted = class_ids[order].astype(jnp.int32)
-
-    iou = box_ops.pairwise_iou(b_sorted, b_sorted)
+    labels_in = class_ids.astype(jnp.int32)
+    iou = box_ops.pairwise_iou(boxes, boxes)
     col = jnp.arange(n)
 
-    def body(i, carry):
-        suppressed, labels = carry
-        keep_i = jnp.logical_not(suppressed[i])
-        newly = keep_i & (iou[i] > iou_threshold) & (col > i) & (
-            ~suppressed) & jnp.isfinite(s_sorted)
+    def body(alive_scores, _):
+        i = jnp.argmax(alive_scores)
+        ok = jnp.isfinite(alive_scores[i])
+        row = iou[i]
+        newly = jnp.isfinite(alive_scores) & (row > iou_threshold) & \
+            (col != i)
         counts = jnp.zeros((num_classes,), jnp.int32).at[
-            jnp.clip(labels, 0, num_classes - 1)
+            jnp.clip(labels_in, 0, num_classes - 1)
         ].add(newly.astype(jnp.int32), mode="drop")
         n_unique = jnp.sum(counts > 0)
         majority = jnp.argmax(counts).astype(jnp.int32)
-        new_label_i = jnp.where(n_unique > 1, majority, labels[i])
-        labels = labels.at[i].set(jnp.where(keep_i, new_label_i, labels[i]))
-        return suppressed | newly, labels
+        out_label = jnp.where(ok & (n_unique > 1), majority, labels_in[i])
+        alive_scores = jnp.where(
+            ok & (newly | (col == i)), -jnp.inf, alive_scores)
+        return alive_scores, (jnp.where(ok, i, -1), ok, out_label)
 
-    suppressed, labels = jax.lax.fori_loop(
-        0, n, body, (jnp.zeros((n,), bool), c_sorted))
-    keep = (~suppressed) & jnp.isfinite(s_sorted)
+    _, (keep_idx, out_valid, out_labels) = jax.lax.scan(
+        body, s, None, length=max_output)
 
-    rank = jnp.cumsum(keep) - 1
-    in_range = keep & (rank < max_output)
-    src = jnp.full((max_output,), -1, jnp.int32).at[
-        jnp.where(in_range, rank, max_output)
-    ].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
-
-    out_valid = src >= 0
-    src_c = jnp.clip(src, 0)
-    out_boxes = jnp.where(out_valid[:, None], b_sorted[src_c], 0.0)
-    out_scores = jnp.where(out_valid, s_sorted[src_c], 0.0)
-    out_labels = jnp.where(out_valid, labels[src_c], -1)
+    idx_c = jnp.clip(keep_idx, 0)
+    out_boxes = jnp.where(out_valid[:, None], boxes[idx_c], 0.0)
+    out_scores = jnp.where(out_valid, s[idx_c], 0.0)
+    out_labels = jnp.where(out_valid, out_labels, -1)
     return out_boxes, out_scores, out_labels, out_valid
 
 
