@@ -90,6 +90,16 @@ def _evaluate_img(dts, gts, area_rng, max_det):
             np.array([gg["bbox"] for gg in gts], np.float64),
             np.array([gg.get("iscrowd", 0) for gg in gts]))
         iscrowd = np.array([int(gg.get("iscrowd", 0)) for gg in gts])
+        from object_detectors_tpu.eval import native
+
+        if native.available():
+            dt_m, dt_ig = native.evaluate_img_native(
+                iou, gt_ignore, iscrowd, IOU_THRS)
+            d_areas = np.array(
+                [dd["bbox"][2] * dd["bbox"][3] for dd in dts])
+            out_rng = (d_areas < area_rng[0]) | (d_areas > area_rng[1])
+            dt_ig = dt_ig | ((dt_m == 0) & out_rng[None, :])
+            return dt_m, dt_ig, gt_ignore, dt_scores
         for ti, thr in enumerate(IOU_THRS):
             for di in range(d):
                 best_iou = min(thr, 1 - 1e-10)

@@ -1,0 +1,116 @@
+"""Darknet .weights import + torch-layout conversion tests (synthetic
+binary files; layout semantics of yolohead.py:90-164)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from object_detectors_tpu.models.yolo import YoloHead
+from object_detectors_tpu.utils import weights_io as W
+
+
+def _sizes_for(params, batch_stats, order):
+    """Walk the explicit order, compute the float count of the stream."""
+    total = 0
+    for path, sub in W._conv_bn_order(params, explicit_order=order):
+        if "plain" in sub:
+            leaf = sub["plain"]
+            total += leaf["bias"].size + leaf["kernel"].size
+        else:
+            n = sub["bn"]["bias"].size
+            total += 4 * n + sub["conv"]["kernel"].size
+    return total
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    model = YoloHead(num_classes=4, backbone_layers=(1, 1, 1, 1, 1))
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)),
+                           train=False)
+    return model, variables
+
+
+def test_darknet_weights_roundtrip(tmp_path, tiny_model):
+    model, variables = tiny_model
+    order = W.yolo_head_order((1, 1, 1, 1, 1))
+    n_floats = _sizes_for(variables["params"], variables["batch_stats"],
+                          order)
+    rng = np.random.RandomState(0)
+    stream = rng.randn(n_floats).astype(np.float32)
+    path = str(tmp_path / "test.weights")
+    with open(path, "wb") as f:
+        np.zeros(5, np.int32).tofile(f)
+        stream.tofile(f)
+
+    new_p, new_s, consumed = W.load_darknet_weights(
+        variables["params"], variables["batch_stats"], path, order)
+    assert consumed == n_floats
+
+    # first block is the stem: bn bias/scale/mean/var then conv kernel
+    stem = new_p["backbone"]["stem"]
+    nb = stem["bn"]["bias"].size
+    np.testing.assert_array_equal(np.asarray(stem["bn"]["bias"]),
+                                  stream[:nb])
+    np.testing.assert_array_equal(np.asarray(stem["bn"]["scale"]),
+                                  stream[nb:2 * nb])
+    stats = new_s["backbone"]["stem"]["bn"]
+    np.testing.assert_array_equal(np.asarray(stats["mean"]),
+                                  stream[2 * nb:3 * nb])
+    np.testing.assert_array_equal(np.asarray(stats["var"]),
+                                  stream[3 * nb:4 * nb])
+    # kernel converted from [out,in,kh,kw] to [kh,kw,in,out]
+    k = np.asarray(stem["conv"]["kernel"])
+    torch_k = stream[4 * nb:4 * nb + k.size].reshape(
+        k.shape[3], k.shape[2], k.shape[0], k.shape[1])
+    np.testing.assert_array_equal(k, torch_k.transpose(2, 3, 1, 0))
+
+
+def test_darknet_weights_exhaustion_error(tmp_path, tiny_model):
+    model, variables = tiny_model
+    path = str(tmp_path / "short.weights")
+    with open(path, "wb") as f:
+        np.zeros(5, np.int32).tofile(f)
+        np.zeros(10, np.float32).tofile(f)
+    with pytest.raises(ValueError, match="exhausted"):
+        W.load_darknet_weights(variables["params"],
+                               variables["batch_stats"], path,
+                               W.yolo_head_order((1, 1, 1, 1, 1)))
+
+
+def test_loaded_model_still_runs(tmp_path, tiny_model):
+    model, variables = tiny_model
+    order = W.yolo_head_order((1, 1, 1, 1, 1))
+    n = _sizes_for(variables["params"], variables["batch_stats"], order)
+    path = str(tmp_path / "run.weights")
+    with open(path, "wb") as f:
+        np.zeros(5, np.int32).tofile(f)
+        (np.random.RandomState(1).randn(n) * 0.01).astype(
+            np.float32).tofile(f)
+    new_p, new_s, _ = W.load_darknet_weights(
+        variables["params"], variables["batch_stats"], path, order)
+    # variance must be positive for BN; fix up synthetic stats
+    new_s = jax.tree_util.tree_map(jnp.abs, new_s)
+    out = model.apply({"params": new_p, "batch_stats": new_s},
+                      jnp.zeros((1, 64, 64, 3)), train=False)
+    assert np.isfinite(np.asarray(out[0])).all()
+
+
+def test_torch_tensor_conversion():
+    conv = np.zeros((8, 3, 3, 3))  # torch [out,in,kh,kw]
+    name, arr = W.torch_tensor_to_flax("backbone.conv1.weight", conv)
+    assert name == "kernel" and arr.shape == (3, 3, 3, 8)
+    lin = np.zeros((10, 20))
+    name, arr = W.torch_tensor_to_flax("fc6.weight", lin)
+    assert name == "kernel" and arr.shape == (20, 10)
+    bn_w = np.zeros(16)
+    name, _ = W.torch_tensor_to_flax("bn1.weight", bn_w)
+    assert name == "scale"
+    name, _ = W.torch_tensor_to_flax("bn1.running_mean", bn_w)
+    assert name == "mean"
+
+
+def test_strip_module_prefix():
+    sd = {"module.backbone.conv.weight": 1, "head.bias": 2}
+    out = W.strip_module_prefix(sd)
+    assert "backbone.conv.weight" in out and "head.bias" in out
