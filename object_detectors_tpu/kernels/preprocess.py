@@ -1,0 +1,78 @@
+"""Fused image preprocessing kernel.
+
+The reference's preprocessing is a chain of host ops (cv2 resize, /255,
+mean/std normalize — `yolo/dsets/transformations.py:10-53`). On TPU the
+normalize/cast/layout part belongs on-device fused into ONE HBM pass
+(BASELINE.json north star: "image decode, letterbox/resize, and
+normalization fuse into a single Pallas preprocessing kernel"):
+
+* uint8 NHWC images -> (x/255 - mean)/std -> bfloat16, one read + one
+  write per pixel (XLA would also fuse this chain, but the kernel
+  guarantees it and gives us the place to fold in layout tweaks).
+* rows are tiled so arbitrary H fits VMEM.
+
+``preprocess_images`` dispatches to the kernel on TPU and to the
+identical jnp expression elsewhere.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from object_detectors_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+_MEAN = tuple(float(x) for x in IMAGENET_MEAN)
+_STD = tuple(float(x) for x in IMAGENET_STD)
+
+
+def _kernel(img_ref, out_ref):
+    x = img_ref[...].astype(jnp.float32) * (1.0 / 255.0)
+    mean = jnp.asarray(_MEAN, jnp.float32)
+    inv_std = jnp.asarray([1.0 / s for s in _STD], jnp.float32)
+    out_ref[...] = ((x - mean) * inv_std).astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("out_dtype", "row_block"))
+def preprocess_images_pallas(images: jnp.ndarray,
+                             out_dtype=jnp.bfloat16,
+                             row_block: int = 64) -> jnp.ndarray:
+    """[B, H, W, 3] uint8 -> normalized [B, H, W, 3] out_dtype."""
+    b, h, w, c = images.shape
+    rb = min(row_block, h)
+    while h % rb:
+        rb -= 1
+    grid = (b, h // rb)
+    return pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct(images.shape, out_dtype),
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, rb, w, c),
+                               lambda bi, ri: (bi, ri, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, rb, w, c),
+                               lambda bi, ri: (bi, ri, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )(images)
+
+
+@partial(jax.jit, static_argnames=("out_dtype",))
+def preprocess_images_xla(images: jnp.ndarray,
+                          out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    x = images.astype(jnp.float32) / 255.0
+    x = (x - jnp.asarray(_MEAN)) / jnp.asarray(_STD)
+    return x.astype(out_dtype)
+
+
+def preprocess_images(images, out_dtype=jnp.bfloat16):
+    """Normalize a uint8 batch on-device; Pallas on TPU, XLA elsewhere."""
+    if jax.devices()[0].platform == "tpu":
+        try:
+            return preprocess_images_pallas(images, out_dtype)
+        except Exception:  # pragma: no cover — compile fallback
+            pass
+    return preprocess_images_xla(images, out_dtype)
