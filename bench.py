@@ -100,15 +100,79 @@ def run(batch_sizes=(32,), img_size=640, warmup=2, iters=10):
     return best, results
 
 
+def run_protocol(batch_sizes=(4, 8), img_size=416, num_images=64,
+                 out_csv="benchmark_res.csv"):
+    """The reference benchmark.py protocol (yolo/benchmark.py:17-157):
+    per batch size, time forward+decode+NMS vs CPU-eval vs total app
+    time, run full COCO-protocol eval, append a CSV row. Runs on a
+    synthetic COCO-val stand-in (no datasets on disk)."""
+    import csv
+
+    import numpy as np
+
+    from object_detectors_tpu.data import coco as D
+    from object_detectors_tpu.data import synthetic
+    from object_detectors_tpu.eval import evaluator as E
+
+    rng = np.random.RandomState(0)
+    gt = synthetic.make_coco_dicts(rng, num_images=num_images,
+                                   img_size=img_size, num_classes=80)
+    imgs = {im["id"]: np.random.RandomState(im["id"]).randint(
+        0, 255, (img_size, img_size, 3)).astype(np.uint8)
+        for im in gt["images"]}
+    ds = D.CocoDetectionDataset(gt, label_mode="lvis0",
+                                image_loader=lambda i: imgs[i["id"]])
+    infer = build_pipeline(img_size=img_size)
+
+    rows = []
+    for bs in batch_sizes:
+        t_app0 = time.perf_counter()
+        forw = 0.0
+        ev = E.DetectionEvaluator(gt, label_map=lambda c: c + 1)
+        for batch in D.yolo_batches(ds, bs, img_size, max_boxes=8):
+            x = jnp.asarray(batch["images"], jnp.bfloat16)
+            t0 = time.perf_counter()
+            b, sc, lab, v = jax.block_until_ready(infer(x))
+            forw += time.perf_counter() - t0
+            keep = batch["image_ids"] >= 0
+            ev.update(batch["image_ids"][keep], np.asarray(b)[keep],
+                      np.asarray(sc)[keep], np.asarray(lab)[keep],
+                      np.asarray(v)[keep], batch["scale_factors"][keep])
+        t0 = time.perf_counter()
+        stats = ev.summarize()
+        cpu_eval = time.perf_counter() - t0
+        app = time.perf_counter() - t_app0
+        rows.append({"batch": bs, "forw_time": round(forw, 3),
+                     "cpu_time": round(cpu_eval, 3),
+                     "app_time": round(app, 3),
+                     "map": round(float(stats[0]), 5)})
+    with open(out_csv, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="single small batch size for smoke runs")
     ap.add_argument("--full", action="store_true",
                     help="reference-style batch sweep (slow compiles)")
+    ap.add_argument("--protocol", action="store_true",
+                    help="reference benchmark.py protocol -> "
+                         "benchmark_res.csv (timing + mAP per batch)")
     ap.add_argument("--img-size", type=int, default=640)
     ap.add_argument("--batch-sizes", type=int, nargs="*", default=None)
     args = ap.parse_args()
+
+    if args.protocol:
+        rows = run_protocol(tuple(args.batch_sizes or (4, 8)),
+                            args.img_size)
+        print(json.dumps({"metric": "benchmark_protocol",
+                          "value": rows[-1]["map"], "unit": "mAP",
+                          "vs_baseline": 0.0, "rows": rows}))
+        return
 
     if args.batch_sizes:
         sizes = tuple(args.batch_sizes)

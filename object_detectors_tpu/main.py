@@ -359,11 +359,18 @@ def train_pipeline(cfg: Config):
         mode=str(cfg.scheduler.get("mode", "max")))
     writer = log_lib.TensorBoardWriter(os.path.join(out_dir, "tb"))
 
+    profile_steps = int(cfg.get_path("profile_steps", 0) or 0)
     for epoch in range(start_epoch, int(cfg.epochs)):
         t0 = time.time()
+        if profile_steps and epoch == start_epoch:
+            # jax.profiler trace of the first steps (SURVEY.md §5.1: the
+            # reference only has wall-clock meters; we get real traces)
+            jax.profiler.start_trace(os.path.join(out_dir, "profile"))
         state, sub, stats = train_one_epoch(
             state, cfg, loss_cfg, train_ds, mesh, epoch,
             class_weights, idf_logits, writer)
+        if profile_steps and epoch == start_epoch:
+            jax.profiler.stop_trace()
         if sub is None:
             log.error("epoch %d aborted on non-finite loss", epoch)
             break

@@ -1,0 +1,141 @@
+"""Mixed-model batched serving (BASELINE.json config 5: "YOLO+RetinaNet
+640x640 bs=64 mixed stream").
+
+The reference has no serving path (training/eval research code only);
+this is the production-deployment surface the rebuild adds:
+
+* each model gets one pre-jitted, fixed-batch inference pipeline
+  (compile once, reuse forever — XLA static shapes);
+* requests are tagged with a model name and accumulate in per-model
+  queues; a scheduler flushes a queue when it reaches the batch size or
+  a deadline expires, padding short batches with the last image (the
+  padding results are dropped on the way out);
+* responses preserve request ids, so interleaved streams demultiplex.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from collections import deque
+from typing import Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class Request:
+    request_id: int
+    model: str
+    image: np.ndarray  # [H, W, 3] float32 (already resized/normalized)
+
+
+@dataclasses.dataclass
+class Response:
+    request_id: int
+    model: str
+    boxes: np.ndarray
+    scores: np.ndarray
+    labels: np.ndarray
+    valid: np.ndarray
+    latency_s: float
+
+
+class BatchedDetectionServer:
+    def __init__(self, pipelines: dict[str, Callable], batch_size: int,
+                 max_delay_s: float = 0.01):
+        """pipelines: {name: jitted fn [B,H,W,3] -> (boxes, scores,
+        labels, valid)} — all with the same static batch size."""
+        self.pipelines = pipelines
+        self.batch_size = batch_size
+        self.max_delay_s = max_delay_s
+        self.queues: dict[str, deque] = {m: deque() for m in pipelines}
+        self.deadlines: dict[str, float] = {}
+
+    def submit(self, req: Request):
+        q = self.queues[req.model]
+        if not q:
+            self.deadlines[req.model] = time.perf_counter() + \
+                self.max_delay_s
+        q.append((req, time.perf_counter()))
+
+    def _flush(self, model: str) -> list[Response]:
+        q = self.queues[model]
+        n = min(len(q), self.batch_size)
+        items = [q.popleft() for _ in range(n)]
+        imgs = np.stack([it[0].image for it in items])
+        if n < self.batch_size:  # pad to the static batch
+            pad = np.repeat(imgs[-1:], self.batch_size - n, axis=0)
+            imgs = np.concatenate([imgs, pad], axis=0)
+        boxes, scores, labels, valid = jax.block_until_ready(
+            self.pipelines[model](jnp.asarray(imgs)))
+        now = time.perf_counter()
+        out = []
+        for i, (req, t_in) in enumerate(items):
+            out.append(Response(
+                req.request_id, model,
+                np.asarray(boxes[i]), np.asarray(scores[i]),
+                np.asarray(labels[i]), np.asarray(valid[i]),
+                now - t_in))
+        return out
+
+    def poll(self, force: bool = False) -> list[Response]:
+        """Flush any queue that is full or past its deadline."""
+        out = []
+        now = time.perf_counter()
+        for model, q in self.queues.items():
+            while len(q) >= self.batch_size:
+                out.extend(self._flush(model))
+            if q and (force or now >= self.deadlines.get(model, now)):
+                out.extend(self._flush(model))
+        return out
+
+    def run_stream(self, requests) -> list[Response]:
+        """Synchronous driver: feed all requests, flush everything."""
+        out = []
+        for req in requests:
+            self.submit(req)
+            out.extend(self.poll())
+        out.extend(self.poll(force=True))
+        return out
+
+
+def build_yolo_pipeline(num_classes=80, img_size=640, batch_size=64,
+                        dtype=jnp.bfloat16, topk=512, max_det=100):
+    """Standard YOLO serving pipeline (shares the bench graph)."""
+    import bench as bench_mod
+
+    return bench_mod.build_pipeline(num_classes, img_size, topk, max_det,
+                                    dtype)
+
+
+def build_retinanet_pipeline(num_classes=91, img_size=640,
+                             resnet_layers=(3, 4, 6, 3),
+                             dtype=jnp.bfloat16):
+    from object_detectors_tpu.models import anchors as anchor_lib
+    from object_detectors_tpu.models import retinanet as RN
+
+    cfg = RN.RetinaNetConfig(num_classes=num_classes)
+    model = RN.RetinaNet(num_classes=num_classes,
+                         resnet_layers=tuple(resnet_layers), dtype=dtype)
+    variables = model.init(jax.random.key(0),
+                           jnp.zeros((1, img_size, img_size, 3), dtype),
+                           train=False)
+    s = img_size
+    grids = [(s // 8,) * 2, (s // 16,) * 2, (s // 32,) * 2,
+             (s // 64,) * 2, (s // 128,) * 2]
+    sizes, ars = anchor_lib.retinanet_anchor_config()
+    anchors = jnp.asarray(anchor_lib.grid_anchors((s, s), grids, sizes,
+                                                  ars))
+
+    @jax.jit
+    def infer(images):
+        cls, reg, level_sizes = model.apply(variables, images,
+                                            train=False)
+        return RN.retinanet_postprocess(
+            cls.astype(jnp.float32), reg.astype(jnp.float32), anchors,
+            tuple(level_sizes), (s, s), cfg)
+
+    return infer
