@@ -38,7 +38,7 @@ from object_detectors_tpu.ops import nms as N
 PER_CHIP_TARGET = 500.0  # 4000 imgs/sec on v5e-8 => 500/chip
 
 
-def build_pipeline(num_classes=80, img_size=640, topk=512, max_det=100,
+def build_pipeline(num_classes=80, img_size=640, topk=256, max_det=100,
                    dtype=jnp.bfloat16, conf=0.1, iou_thr=0.6):
     cfg = YC.YoloLossConfig(num_classes=num_classes, img_size=img_size)
     model = YoloHead(num_classes=num_classes, dtype=dtype)
@@ -78,7 +78,7 @@ def build_pipeline(num_classes=80, img_size=640, topk=512, max_det=100,
     return infer
 
 
-def run(batch_sizes=(32,), img_size=640, warmup=2, iters=10):
+def run(batch_sizes=(64,), img_size=640, warmup=2, iters=10):
     infer = build_pipeline(img_size=img_size)
     best = 0.0
     results = {}
@@ -181,7 +181,7 @@ def main():
     elif args.full:
         sizes = (2, 4, 8, 16, 32, 64, 128)
     else:
-        sizes = (32,)
+        sizes = (64,)
 
     best, results = run(sizes, args.img_size)
     print(json.dumps({

@@ -92,12 +92,18 @@ class CocoDetectionDataset:
         boxes = np.array([a["bbox"] for a in anns], np.float32)
         labels = np.array([self.map_label(a["category_id"]) for a in anns],
                           np.int32)
-        return image, {
+        target = {
             "boxes_xywh": boxes,
             "labels": labels,
             "image_id": img_id,
             "orig_size": (info["height"], info["width"]),
         }
+        # keypoint annotations (coco_kp / get_coco_kp parity)
+        if anns and "keypoints" in anns[0]:
+            target["keypoints"] = np.array(
+                [np.asarray(a["keypoints"], np.float32).reshape(-1, 3)
+                 for a in anns])
+        return image, target
 
 
 def shard_indices(n: int, process_index: int, process_count: int,

@@ -42,6 +42,8 @@ def _nms_kernel(boxes_ref, scores_ref, thr_ref, out_idx_ref,
     area = boxes_ref[4:5, :]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
 
+    lane_k = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+
     def body(step, _):
         alive = alive_ref[...]
         best = jnp.max(alive)
@@ -59,8 +61,14 @@ def _nms_kernel(boxes_ref, scores_ref, thr_ref, out_idx_ref,
         iou = inter / (area + barea - inter + 1e-16)
         kill = (iou > thr) | sel
         alive_ref[...] = jnp.where(ok & kill, -jnp.inf, alive)
-        out_idx_ref[0, step] = jnp.where(ok, i, -1)
-        out_valid_ref[0, step] = jnp.where(ok, 1, 0).astype(jnp.int32)
+        # Mosaic can't store scalars to VMEM: write the step's slot with
+        # a masked full-vector store instead.
+        at_step = lane_k == step
+        out_idx_ref[...] = jnp.where(
+            at_step, jnp.where(ok, i.astype(jnp.int32), -1),
+            out_idx_ref[...])
+        out_valid_ref[...] = jnp.where(
+            at_step, jnp.where(ok, 1, 0), out_valid_ref[...])
         return 0
 
     jax.lax.fori_loop(0, k, body, 0)

@@ -111,3 +111,27 @@ class FrozenBatchNorm(nn.Module):
         scale = weight / jnp.sqrt(var + self.epsilon)
         shift = bias - mean * scale
         return x * scale.astype(self.dtype) + shift.astype(self.dtype)
+
+
+class ClassAttention(nn.Module):
+    """SE-style class-logit attention (yolo/utilities/custom.py:135-160 —
+    present in the reference but unused on its main path; kept for
+    capability parity). Pools the class logits over (anchor, H, W),
+    squeezes through a bottleneck MLP, and returns per-class gates."""
+
+    num_classes: int
+    reduction_ratio: int = 16
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, class_logits):
+        # class_logits: [B, H, W, A, C] (or any [B, ..., C])
+        pooled = jnp.mean(
+            class_logits.reshape(class_logits.shape[0], -1,
+                                 self.num_classes), axis=1)
+        x = nn.softmax(pooled)
+        x = nn.relu(nn.Dense(self.reduction_ratio, dtype=self.dtype,
+                             param_dtype=jnp.float32, name="fc1")(x))
+        x = nn.Dense(self.num_classes, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="fc2")(x)
+        return nn.sigmoid(x)

@@ -160,3 +160,53 @@ def _get_path(tree, path):
     for p in path:
         node = node[p]
     return node
+
+
+def torch_resnet_to_flax(state_dict: dict, layers=(3, 4, 6, 3)):
+    """Convert a torchvision ResNet state_dict (the pretrained backbones
+    the reference pulls via torch.hub, utilities/resnet.py) into our
+    ResNet's (params, frozen) trees.
+
+    torch names: conv1/bn1, layer{1..4}.{i}.conv{1..3}/bn{1..3} and
+    .downsample.{0,1}. Ours: conv1/bn1(frozen), layer{s}_block{i} with
+    conv1..3/bn1..3 and down_conv/down_bn. BN stats land in the 'frozen'
+    collection (FrozenBatchNorm)."""
+    sd = strip_module_prefix({k: np.asarray(v)
+                              for k, v in state_dict.items()})
+
+    params: dict = {}
+    frozen: dict = {}
+
+    def put(tree, path, leaf, value):
+        node = tree
+        for p in path:
+            node = node.setdefault(p, {})
+        node[leaf] = jnp.asarray(value)
+
+    def bn_into(path, prefix):
+        put(frozen, path, "weight", sd[prefix + ".weight"])
+        put(frozen, path, "bias", sd[prefix + ".bias"])
+        put(frozen, path, "running_mean", sd[prefix + ".running_mean"])
+        put(frozen, path, "running_var", sd[prefix + ".running_var"])
+
+    put(params, ("conv1",), "kernel",
+        sd["conv1.weight"].transpose(2, 3, 1, 0))
+    bn_into(("bn1",), "bn1")
+
+    for stage, blocks in enumerate(layers):
+        for b in range(blocks):
+            t = f"layer{stage+1}.{b}"
+            o = f"layer{stage+1}_block{b}"
+            for ci in (1, 2, 3):
+                key = f"{t}.conv{ci}.weight"
+                if key not in sd:
+                    continue
+                put(params, (o, f"conv{ci}"), "kernel",
+                    sd[key].transpose(2, 3, 1, 0))
+                bn_into((o, f"bn{ci}"), f"{t}.bn{ci}")
+            dkey = f"{t}.downsample.0.weight"
+            if dkey in sd:
+                put(params, (o, "down_conv"), "kernel",
+                    sd[dkey].transpose(2, 3, 1, 0))
+                bn_into((o, "down_bn"), f"{t}.downsample.1")
+    return params, frozen

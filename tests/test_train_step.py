@@ -85,8 +85,10 @@ def test_dp_matches_single_device():
     mesh = M.make_mesh()
     state = _make_state()
     batch = _batch(8)
-    # the step donates its state arg -> copy for the second run first
-    state_r = M.put_replicated(state, mesh)
+    # the step donates its state arg, and device_put may alias buffers —
+    # force an actual deep copy for the second run
+    state_r = M.put_replicated(
+        jax.tree_util.tree_map(jnp.copy, state), mesh)
     _, m1 = T.yolo_train_step(
         state, batch["images"], batch["gt_boxes"], batch["gt_labels"],
         batch["gt_valid"], CFG, NUM_CLASSES)

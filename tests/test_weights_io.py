@@ -114,3 +114,54 @@ def test_strip_module_prefix():
     sd = {"module.backbone.conv.weight": 1, "head.bias": 2}
     out = W.strip_module_prefix(sd)
     assert "backbone.conv.weight" in out and "head.bias" in out
+
+
+def test_torch_resnet_state_dict_conversion():
+    """Synthetic resnet-shaped torch state dict converts into trees with
+    exactly our ResNet's structure (loadable params + frozen stats)."""
+    from object_detectors_tpu.models.resnet import ResNet
+
+    layers = (1, 1, 1, 1)
+    model = ResNet(layers, "bottleneck", "frozen")
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)),
+                           train=False)
+
+    rng = np.random.RandomState(0)
+    sd = {}
+
+    def add_bn(prefix, n):
+        for leaf in ("weight", "bias", "running_mean", "running_var"):
+            sd[f"{prefix}.{leaf}"] = rng.randn(n).astype(np.float32)
+
+    sd["conv1.weight"] = rng.randn(64, 3, 7, 7).astype(np.float32)
+    add_bn("bn1", 64)
+    inplanes = 64
+    for stage in range(4):
+        planes = 64 * (2 ** stage)
+        t = f"layer{stage+1}.0"
+        sd[f"{t}.conv1.weight"] = rng.randn(
+            planes, inplanes, 1, 1).astype(np.float32)
+        add_bn(f"{t}.bn1", planes)
+        sd[f"{t}.conv2.weight"] = rng.randn(
+            planes, planes, 3, 3).astype(np.float32)
+        add_bn(f"{t}.bn2", planes)
+        sd[f"{t}.conv3.weight"] = rng.randn(
+            planes * 4, planes, 1, 1).astype(np.float32)
+        add_bn(f"{t}.bn3", planes * 4)
+        sd[f"{t}.downsample.0.weight"] = rng.randn(
+            planes * 4, inplanes, 1, 1).astype(np.float32)
+        add_bn(f"{t}.downsample.1", planes * 4)
+        inplanes = planes * 4
+
+    params, frozen = W.torch_resnet_to_flax(sd, layers)
+
+    def tree_shapes(t):
+        return {k: (tree_shapes(v) if isinstance(v, dict)
+                    else tuple(v.shape)) for k, v in t.items()}
+
+    assert tree_shapes(params) == tree_shapes(variables["params"])
+    assert tree_shapes(frozen) == tree_shapes(variables["frozen"])
+    # converted weights actually run
+    out = model.apply({"params": params, "frozen": frozen},
+                      jnp.zeros((1, 64, 64, 3)), train=False)
+    assert len(out) == 4
