@@ -311,6 +311,7 @@ def train_pipeline(cfg: Config):
         handlers=[logging.FileHandler(os.path.join(out_dir, "main.log")),
                   logging.StreamHandler(sys.stderr)])
 
+    mesh_lib.maybe_initialize_distributed()
     mesh = mesh_lib.make_mesh_for_batch(
         int(cfg.dataset.tr_batch_size),
         model=int(cfg.get_path("mesh.model", 1)))

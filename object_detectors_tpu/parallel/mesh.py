@@ -30,6 +30,32 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def maybe_initialize_distributed():
+    """Multi-host bring-up — replaces the reference's env/SLURM NCCL
+    rendezvous (detection/utils.py:302-324, yolo/main.py:21-30).
+
+    Reads the standard JAX env vars (JAX_COORDINATOR_ADDRESS,
+    JAX_NUM_PROCESSES, JAX_PROCESS_ID) or their SLURM equivalents and
+    calls jax.distributed.initialize exactly once. No-op for single
+    process."""
+    import os
+
+    if jax.process_count() > 1:
+        return  # already initialized
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    if addr is None and "SLURM_JOB_NODELIST" in os.environ:
+        # SLURM auto-detection is built into jax.distributed
+        jax.distributed.initialize()
+        return
+    if addr and nproc and pid:
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(nproc),
+            process_id=int(pid))
+
+
 def make_mesh(
     devices: Sequence[jax.Device] | None = None,
     data: int | None = None,

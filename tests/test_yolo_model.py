@@ -176,3 +176,17 @@ def test_bf16_forward(tiny_head):
     # params stay f32
     leaf = jax.tree_util.tree_leaves(variables["params"])[0]
     assert leaf.dtype == jnp.float32
+
+
+def test_yolo_neck_spp_fpn_variants():
+    """SPP and FPN necks preserve the head's channel plan and shapes."""
+    for use_spp, use_fpn in [(True, False), (False, True), (True, True)]:
+        model = YoloHead(num_classes=4, backbone_layers=(1, 1, 1, 1, 1),
+                         use_spp=use_spp, use_fpn=use_fpn,
+                         pyramids=((5, 9, 13),) * 3)
+        x = jnp.zeros((1, 64, 64, 3))
+        variables = model.init(jax.random.key(0), x, train=False)
+        out0, out1, out2 = model.apply(variables, x, train=False)
+        assert out0.shape == (1, 2, 2, 27), (use_spp, use_fpn)
+        assert out1.shape == (1, 4, 4, 27)
+        assert out2.shape == (1, 8, 8, 27)
