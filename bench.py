@@ -126,6 +126,9 @@ def run_protocol(batch_sizes=(4, 8), img_size=416, num_images=64,
 
     rows = []
     for bs in batch_sizes:
+        # warm up (compile) outside the timed app window
+        jax.block_until_ready(infer(jnp.zeros(
+            (bs, img_size, img_size, 3), jnp.bfloat16)))
         t_app0 = time.perf_counter()
         forw = 0.0
         ev = E.DetectionEvaluator(gt, label_map=lambda c: c + 1)

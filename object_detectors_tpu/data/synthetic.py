@@ -75,3 +75,35 @@ def make_coco_dicts(
                   for c in range(1, num_classes + 1)]
     return {"images": images, "annotations": annotations,
             "categories": categories}
+
+
+CLASS_COLORS = np.array([
+    [220, 40, 40], [40, 220, 40], [40, 40, 220], [220, 220, 40],
+    [220, 40, 220], [40, 220, 220], [120, 200, 80], [200, 120, 80],
+], np.uint8)
+
+
+def render_image(gt: dict, image_id: int, noise_seed: int = 0):
+    """Render a LEARNABLE image for a synthetic COCO dict: gray noise
+    background + filled class-colored rectangles at each annotation box.
+    This gives train/eval pipelines real pixel<->box signal (pure-noise
+    images make mAP unlearnable)."""
+    info = next(im for im in gt["images"] if im["id"] == image_id)
+    h, w = info["height"], info["width"]
+    rng = np.random.RandomState(noise_seed + image_id)
+    img = rng.randint(90, 160, (h, w, 3)).astype(np.uint8)
+    for a in gt["annotations"]:
+        if a["image_id"] != image_id:
+            continue
+        x, y, bw, bh = [int(round(v)) for v in a["bbox"]]
+        color = CLASS_COLORS[(a["category_id"] - 1) % len(CLASS_COLORS)]
+        img[max(y, 0):min(y + bh, h), max(x, 0):min(x + bw, w)] = color
+    return img
+
+
+def renderable_dataset(rng, num_images=16, img_size=96, num_classes=4,
+                       max_boxes=4):
+    """(gt_dict, image_loader) pair with learnable images."""
+    gt = make_coco_dicts(rng, num_images, img_size, num_classes,
+                         max_boxes)
+    return gt, lambda info: render_image(gt, info["id"])

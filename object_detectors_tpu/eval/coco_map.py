@@ -57,10 +57,12 @@ def box_iou_xywh(dt: np.ndarray, gt: np.ndarray,
     return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
 
 
-def _evaluate_img(dts, gts, area_rng, max_det):
+def _evaluate_img(dts, gts, area_rng, max_det, iou_fn=None):
     """Match one (image, category) cell.
 
     dts: list of dicts {bbox (xywh), score}; gts: {bbox, area, iscrowd}.
+    iou_fn: optional (sorted_dts, sorted_gts) -> [D, G] matrix override
+    (used by segm mode); default is bbox IoU.
     Returns (dt_matches [T, D], dt_ignore [T, D], gt_ignore [G],
     dt_scores [D]) with T=len(IOU_THRS).
     """
@@ -85,10 +87,13 @@ def _evaluate_img(dts, gts, area_rng, max_det):
     dt_ig = np.zeros((t, d), dtype=bool)
 
     if d and g:
-        iou = box_iou_xywh(
-            np.array([dd["bbox"] for dd in dts], np.float64),
-            np.array([gg["bbox"] for gg in gts], np.float64),
-            np.array([gg.get("iscrowd", 0) for gg in gts]))
+        if iou_fn is not None:
+            iou = iou_fn(dts, gts)
+        else:
+            iou = box_iou_xywh(
+                np.array([dd["bbox"] for dd in dts], np.float64),
+                np.array([gg["bbox"] for gg in gts], np.float64),
+                np.array([gg.get("iscrowd", 0) for gg in gts]))
         iscrowd = np.array([int(gg.get("iscrowd", 0)) for gg in gts])
         from object_detectors_tpu.eval import native
 
@@ -140,7 +145,10 @@ class COCOEvalNP:
     """
 
     def __init__(self, gt: dict, dt: list, iou_type: str = "bbox"):
-        assert iou_type == "bbox", "segm/keypoints handled by mask module"
+        assert iou_type in ("bbox", "segm")
+        self.iou_type = iou_type
+        self._img_hw = {im["id"]: (im["height"], im["width"])
+                        for im in gt["images"]}
         self.cat_ids = sorted(c["id"] for c in gt["categories"])
         self.img_ids = sorted(im["id"] for im in gt["images"])
         self._gts = {}
@@ -170,8 +178,10 @@ class COCOEvalNP:
                     dts = self._dts.get((img, cat), [])
                     if not gts and not dts:
                         continue
+                    iou_fn = (self._segm_iou_fn(img)
+                              if self.iou_type == "segm" else None)
                     per_img.append(_evaluate_img(
-                        dts, gts, arng, MAX_DETS[-1]))
+                        dts, gts, arng, MAX_DETS[-1], iou_fn))
                 if not per_img:
                     continue
                 for mi, max_det in enumerate(MAX_DETS):
@@ -229,6 +239,40 @@ class COCOEvalNP:
             s = s[:, :, ai, mi]
         valid = s[s > -1]
         return float(np.mean(valid)) if valid.size else -1.0
+
+    def _segm_iou_fn(self, img_id):
+        """RLE-based mask IoU for segm evaluation (native core)."""
+        from object_detectors_tpu.data import masks as mask_lib
+        from object_detectors_tpu.eval import native
+
+        h, w = self._img_hw[img_id]
+
+        def to_rle(obj):
+            segm = obj.get("segmentation")
+            if segm is None:  # fall back to the box as a mask
+                x, y, bw, bh = obj["bbox"]
+                m = np.zeros((h, w), np.uint8)
+                m[int(y):int(y + bh), int(x):int(x + bw)] = 1
+                return native.rle_encode(m)
+            if isinstance(segm, dict) and not isinstance(
+                    segm.get("counts"), str):
+                return {"size": segm["size"],
+                        "counts": np.asarray(segm["counts"], np.uint32)}
+            m = mask_lib.segmentation_to_mask(segm, h, w)
+            return native.rle_encode(m)
+
+        def iou_fn(dts, gts):
+            d_rles = [to_rle(d) for d in dts]
+            g_rles = [to_rle(g) for g in gts]
+            out = np.zeros((len(dts), len(gts)))
+            for j, (g, gg) in enumerate(zip(g_rles, gts)):
+                crowd = bool(gg.get("iscrowd", 0))
+                for i, dr in enumerate(d_rles):
+                    # crowd gt: union = det area -> pass gt as 'a' crowd
+                    out[i, j] = native.rle_iou(g, dr, a_crowd=crowd)
+            return out
+
+        return iou_fn
 
     def summarize(self):
         """The 12 COCO stats; stats[0] is the model-selection metric

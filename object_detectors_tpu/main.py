@@ -132,15 +132,11 @@ def build_dataset(cfg: Config, split: str):
     d = cfg.dataset
     if d.dset_name == "synthetic":
         rng = np.random.RandomState(0 if split == "train" else 1)
-        gt = synthetic.make_coco_dicts(
+        gt, loader = synthetic.renderable_dataset(
             rng, num_images=int(d.get("num_images", 16)),
             img_size=96, num_classes=int(d.num_classes))
-        imgs = {im["id"]: np.random.RandomState(im["id"]).randint(
-            0, 255, (im["height"], im["width"], 3)).astype(np.uint8)
-            for im in gt["images"]}
         ds = data_coco.CocoDetectionDataset(
-            gt, label_mode="lvis0",
-            image_loader=lambda info: imgs[info["id"]])
+            gt, label_mode="lvis0", image_loader=loader)
         return ds, gt
     ann = d.train_annotations if split == "train" else d.val_annotations
     imgs_dir = d.get("train_images" if split == "train" else "val_images")
@@ -165,7 +161,7 @@ def label_map_for(cfg: Config):
 # --------------------------------------------------------------------- #
 
 def train_one_epoch(state, cfg, loss_cfg, dataset, mesh, epoch,
-                    class_weights, idf_logits, writer=None):
+                    class_weights, idf_logits, writer=None, ckpt=None):
     num_classes = loss_cfg.num_classes
     anchors_per_scale = len(loss_cfg.anchors[0])
     logger = log_lib.MetricLogger()
@@ -223,6 +219,12 @@ def train_one_epoch(state, cfg, loss_cfg, dataset, mesh, epoch,
         if writer is not None and bool(cfg.track_epoch):
             writer.scalar("iter/loss", loss,
                           epoch * 10_000 + i)
+        # preemption-safe mid-epoch autosave (beyond the reference's
+        # epoch-granular checkpoints; SURVEY.md §5.3 recommendation)
+        autosave = int(cfg.get_path("autosave_steps", 0) or 0)
+        if (ckpt is not None and autosave and n_iters % autosave == 0
+                and jax.process_index() == 0):
+            ckpt.save("autosave", state, epoch, {"metric": float("nan")})
     n = max(n_iters, 1)
     return state, sub_sum / n, stat_sum / n
 
@@ -369,7 +371,7 @@ def train_pipeline(cfg: Config):
             jax.profiler.start_trace(os.path.join(out_dir, "profile"))
         state, sub, stats = train_one_epoch(
             state, cfg, loss_cfg, train_ds, mesh, epoch,
-            class_weights, idf_logits, writer)
+            class_weights, idf_logits, writer, ckpt)
         if profile_steps and epoch == start_epoch:
             jax.profiler.stop_trace()
         if sub is None:

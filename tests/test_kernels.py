@@ -1,0 +1,56 @@
+"""Pallas kernel tests (interpret mode on CPU; real-TPU parity was
+verified on-chip during development)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from object_detectors_tpu.kernels import preprocess as P
+from object_detectors_tpu.kernels.nms_pallas import nms_pallas
+from object_detectors_tpu.ops.nms import _select_max_nms
+
+
+def test_preprocess_xla_matches_formula():
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 255, (2, 32, 32, 3)).astype(np.uint8)
+    out = np.asarray(P.preprocess_images_xla(jnp.asarray(imgs),
+                                             jnp.float32))
+    ref = (imgs / 255.0 - [0.485, 0.456, 0.406]) / [0.229, 0.224, 0.225]
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_preprocess_dispatch_runs():
+    imgs = jnp.zeros((1, 32, 32, 3), jnp.uint8)
+    out = P.preprocess_images(imgs, jnp.float32)
+    assert out.shape == (1, 32, 32, 3)
+    # all-zero uint8 -> (-mean/std)
+    np.testing.assert_allclose(
+        np.asarray(out)[0, 0, 0], -np.array([0.485, 0.456, 0.406])
+        / np.array([0.229, 0.224, 0.225]), rtol=1e-4)
+
+
+@pytest.mark.parametrize("n,k", [(64, 16), (128, 100)])
+def test_nms_pallas_interpret_parity(n, k):
+    rng = np.random.RandomState(1)
+    xy = rng.rand(n, 2).astype(np.float32) * 80
+    wh = rng.rand(n, 2).astype(np.float32) * 30 + 2
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], 1))
+    scores = jnp.asarray(rng.rand(n).astype(np.float32))
+    ki_ref, v_ref = _select_max_nms(boxes, scores, 0.5, k)
+    ki_p, v_p = nms_pallas(boxes, scores, 0.5, k, interpret=True)
+    np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v_p))
+    np.testing.assert_array_equal(
+        np.asarray(ki_ref)[np.asarray(v_ref)],
+        np.asarray(ki_p)[np.asarray(v_p)])
+
+
+def test_nms_pallas_respects_valid_mask():
+    boxes = jnp.asarray([[0, 0, 10, 10], [0, 0, 10, 10],
+                         [30, 30, 40, 40]], jnp.float32)
+    scores = jnp.asarray([0.9, 0.8, 0.7])
+    valid = jnp.asarray([False, True, True])
+    ki, v = nms_pallas(boxes, scores, 0.5, 3, valid=valid,
+                       interpret=True)
+    kept = np.asarray(ki)[np.asarray(v)].tolist()
+    assert kept == [1, 2]
