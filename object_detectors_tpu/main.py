@@ -257,7 +257,7 @@ def valid_one_epoch(state, cfg, loss_cfg, dataset, mesh):
 
 
 def test_one_epoch(state, cfg, loss_cfg, dataset, gt, mesh,
-                   max_candidates=512):
+                   max_candidates=512, idf_logits=1.0):
     """Detection epoch + COCO eval (test_one_epoch.py + eval_results.py):
     decode -> conf threshold -> majority NMS -> rescale -> evaluator."""
     from object_detectors_tpu.ops import nms as nms_lib
@@ -269,9 +269,10 @@ def test_one_epoch(state, cfg, loss_cfg, dataset, gt, mesh,
 
     @jax.jit
     def decode_and_nms(images):
+        # idf logit scaling must match training (yolo_forw.py:170-173)
         dec = trainer.yolo_eval_step(
             state, images, loss_cfg, num_classes,
-            len(loss_cfg.anchors[0]))
+            len(loss_cfg.anchors[0]), idf_logits=idf_logits)
         score = dec[..., 4] * jnp.max(dec[..., 5:], -1)
         cls = jnp.argmax(dec[..., 5:], -1)
         k = min(max_candidates, dec.shape[1])
@@ -379,7 +380,8 @@ def train_pipeline(cfg: Config):
             break
         if cfg.metric == "mAP":
             metric, _ = test_one_epoch(state, cfg, loss_cfg, val_ds,
-                                       gt_val, mesh)
+                                       gt_val, mesh,
+                                       idf_logits=idf_logits)
         else:
             metric = valid_one_epoch(state, cfg, loss_cfg, val_ds, mesh)
         if str(cfg.scheduler.name) == "reduce_on_plateau":
@@ -421,8 +423,14 @@ def evaluate_pipeline(cfg: Config, checkpoint_tag: str = "best",
     mesh = mesh_lib.make_mesh(model=int(cfg.get_path("mesh.model", 1)))
     loss_cfg = build_loss_config(cfg)
     model = build_model(cfg)
+    # must rebuild the SAME optimizer as training, else the restored
+    # opt_state tree doesn't match (e.g. adam vs sgd)
     tx = optim_lib.make_optimizer(
-        optim_lib.OptimizerConfig(), optim_lib.SchedulerConfig(), 1)
+        optim_lib.OptimizerConfig(
+            name=str(cfg.optimizer.name), lr=float(cfg.optimizer.lr),
+            weight_decay=float(cfg.optimizer.weight_decay),
+            momentum=float(cfg.optimizer.get("momentum", 0.9))),
+        optim_lib.SchedulerConfig(name=str(cfg.scheduler.name)), 1)
     state = trainer.create_yolo_train_state(
         model, tx, loss_cfg.img_size, jax.random.key(0))
     out_dir = str(cfg.get_path("output_dir", "output/default"))
@@ -432,7 +440,10 @@ def evaluate_pipeline(cfg: Config, checkpoint_tag: str = "best",
     if restored:
         state = restored[0]
     val_ds, gt_val = build_dataset(cfg, "val")
-    mAP, ev = test_one_epoch(state, cfg, loss_cfg, val_ds, gt_val, mesh)
+    train_ds_e, gt_train_e = build_dataset(cfg, "train")
+    _, idf_logits_e, _ = build_tfidf(cfg, gt_train_e)
+    mAP, ev = test_one_epoch(state, cfg, loss_cfg, val_ds, gt_val, mesh,
+                             idf_logits=idf_logits_e)
     if dump_json:
         ev.save_detections(dump_json)
     print(f"mAP: {mAP:.4f}")
