@@ -48,27 +48,60 @@ log = logging.getLogger("detection")
 
 def rcnn_batches(dataset, batch_size, canvas: int, max_boxes=100,
                  shuffle=False, seed=0, min_size=800, max_size=1333,
-                 process_index=0, process_count=1, hflip_rng=None):
+                 process_index=0, process_count=1, hflip_rng=None,
+                 with_masks=False):
     """Padded R-CNN batches: normalized images on a fixed square canvas,
-    GT as absolute xyxy + 1-based labels (background = 0)."""
+    GT as absolute xyxy + 1-based labels (background = 0).
+
+    with_masks: rasterize 'segmentation' annotations to canvas-resolution
+    [B, M, canvas, canvas] float masks (Mask R-CNN training; memory
+    scales with canvas^2 * max_boxes — use modest canvases)."""
     order = data_coco.shard_indices(len(dataset), process_index,
                                     process_count, shuffle, seed)
 
     def produce(i0):
-        imgs, bxs, lbs, vds, ids, scales = [], [], [], [], [], []
+        imgs, bxs, lbs, vds, ids, scales, msks = \
+            [], [], [], [], [], [], []
         for idx in order[i0:i0 + batch_size]:
             image, tgt = dataset[int(idx)]
             boxes = tgt["boxes_xywh"].copy()
             if boxes.size:
                 boxes[:, 2:] += boxes[:, :2]  # -> xyxy
             labels = tgt["labels"] + 1  # 1-based, 0 = background
-            if hflip_rng is not None and hflip_rng.rand() < 0.5:
+            masks = None
+            if with_masks:
+                from object_detectors_tpu.data import masks as mask_lib
+
+                img_id = tgt["image_id"]
+                anns = dataset._anns_by_image.get(img_id, [])
+                h0, w0 = image.shape[:2]
+                if anns and "segmentation" in anns[0]:
+                    masks = mask_lib.masks_for_annotations(anns, h0, w0)
+                else:  # fall back to box-shaped masks
+                    masks = np.zeros((len(boxes), h0, w0), np.float32)
+                    for i_b, bb in enumerate(boxes):
+                        x1, y1, x2, y2 = [int(round(v)) for v in bb]
+                        masks[i_b, max(y1, 0):y2, max(x1, 0):x2] = 1.0
+            flip = hflip_rng is not None and hflip_rng.rand() < 0.5
+            if flip:
                 image, boxes = T.hflip(image, boxes)
+                if masks is not None:
+                    masks = masks[:, :, ::-1].copy()
             padded, sboxes, true_size, scale = T.rcnn_resize(
                 image, boxes, min_size=min_size, max_size=max_size,
                 pad_to=(canvas, canvas))
             img = T.normalize_image(padded)
             b, l, v = T.pad_targets(sboxes, labels, max_boxes)
+            if masks is not None:
+                import cv2
+
+                mpad = np.zeros((max_boxes, canvas, canvas), np.float32)
+                nh, nw = true_size
+                for i_m in range(min(len(masks), max_boxes)):
+                    mpad[i_m, :nh, :nw] = cv2.resize(
+                        masks[i_m], (nw, nh),
+                        interpolation=cv2.INTER_NEAREST)
+                msks.append(mpad)
             imgs.append(img)
             bxs.append(b)
             lbs.append(l)
@@ -82,7 +115,9 @@ def rcnn_batches(dataset, batch_size, canvas: int, max_boxes=100,
             vds.append(np.zeros_like(vds[-1]))
             ids.append(-1)
             scales.append(scales[-1])
-        return {
+            if msks:
+                msks.append(np.zeros_like(msks[-1]))
+        out = {
             "images": np.stack(imgs).astype(np.float32),
             "gt_boxes": np.stack(bxs),
             "gt_labels": np.stack(lbs).astype(np.int32),
@@ -90,6 +125,9 @@ def rcnn_batches(dataset, batch_size, canvas: int, max_boxes=100,
             "image_ids": np.array(ids, np.int64),
             "scale_factors": np.array(scales, np.float32),
         }
+        if msks:
+            out["gt_masks"] = np.stack(msks)
+        return out
 
     yield from data_coco._prefetched(
         produce, range(0, len(order), batch_size), 2)
@@ -398,6 +436,7 @@ def main(argv=None):
         return mAP
 
     hflip_rng = np.random.RandomState(args.seed + 7)
+    with_masks = args.model == "maskrcnn_resnet50_fpn"
     logger = log_lib.MetricLogger()
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
@@ -405,7 +444,7 @@ def main(argv=None):
                 train_ds, args.batch_size, args.image_size,
                 args.max_boxes, shuffle=True, seed=args.seed + epoch,
                 min_size=min_size, max_size=max_size,
-                hflip_rng=hflip_rng)):
+                hflip_rng=hflip_rng, with_masks=with_masks)):
             jb = mesh_lib.put_sharded(
                 {k: jnp.asarray(v) for k, v in batch.items()
                  if k not in ("image_ids", "scale_factors")}, mesh)

@@ -181,6 +181,12 @@ def retinanet_postprocess(
     labels [B,D], valid [B,D]) with D = detections_per_img."""
     k = cls_logits.shape[-1]
 
+    # With a scalar tfidf the sigmoid is monotonic per element, so the
+    # per-level top-k can run in LOGIT space and sigmoid only touches
+    # the k survivors (saves a full [A, K] transcendental pass — at 640²
+    # that's ~70M sigmoids skipped).
+    scalar_tfidf = jnp.ndim(tfidf_post) == 0
+
     def per_image(logits, reg):
         lvl_boxes, lvl_scores, lvl_labels, lvl_valid = [], [], [], []
         start = 0
@@ -188,11 +194,20 @@ def retinanet_postprocess(
             lg = jax.lax.dynamic_slice_in_dim(logits, start, ls, 0)
             rg = jax.lax.dynamic_slice_in_dim(reg, start, ls, 0)
             an = jax.lax.dynamic_slice_in_dim(anchors, start, ls, 0)
-            scores = jax.nn.sigmoid(lg * tfidf_post).reshape(-1)  # [ls*K]
-            keep = scores > cfg.score_thresh
-            masked = jnp.where(keep, scores, -jnp.inf)
             topk = min(cfg.topk_candidates, ls * k)
-            topv, topi = jax.lax.top_k(masked, topk)
+            if scalar_tfidf:
+                raw = (lg * tfidf_post).reshape(-1)
+                logit_thr = jnp.log(cfg.score_thresh
+                                    / (1.0 - cfg.score_thresh))
+                masked = jnp.where(raw > logit_thr, raw, -jnp.inf)
+                topv_l, topi = jax.lax.top_k(masked, topk)
+                topv = jnp.where(jnp.isfinite(topv_l),
+                                 jax.nn.sigmoid(topv_l), -jnp.inf)
+            else:
+                scores = jax.nn.sigmoid(lg * tfidf_post).reshape(-1)
+                keep = scores > cfg.score_thresh
+                masked = jnp.where(keep, scores, -jnp.inf)
+                topv, topi = jax.lax.top_k(masked, topk)
             anchor_idx = topi // k
             label = (topi % k).astype(jnp.int32)
             b = box_ops.decode_boxes(rg[anchor_idx], an[anchor_idx],
