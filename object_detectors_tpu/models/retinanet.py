@@ -196,11 +196,22 @@ def retinanet_postprocess(
             an = jax.lax.dynamic_slice_in_dim(anchors, start, ls, 0)
             topk = min(cfg.topk_candidates, ls * k)
             if scalar_tfidf:
-                raw = (lg * tfidf_post).reshape(-1)
+                raw = lg * tfidf_post  # [ls, K] logits
                 logit_thr = jnp.log(cfg.score_thresh
                                     / (1.0 - cfg.score_thresh))
-                masked = jnp.where(raw > logit_thr, raw, -jnp.inf)
-                topv_l, topi = jax.lax.top_k(masked, topk)
+                raw = jnp.where(raw > logit_thr, raw, -jnp.inf)
+                # Exact two-stage top-k: the global top-k (anchor, class)
+                # pairs touch at most k distinct anchors, and each such
+                # anchor's per-anchor max is >= its pair's score — so the
+                # top-k anchors by max-class score are a superset. This
+                # turns one top-k over ls*K (~5M at P3/640²) into a max
+                # reduce + two small top-ks.
+                n_anchor = min(topk, ls)
+                anchor_best = jnp.max(raw, axis=1)  # [ls]
+                _, a_idx = jax.lax.top_k(anchor_best, n_anchor)
+                sub = raw[a_idx]  # [n_anchor, K]
+                topv_l, sub_i = jax.lax.top_k(sub.reshape(-1), topk)
+                topi = (a_idx[sub_i // k] * k + sub_i % k)
                 topv = jnp.where(jnp.isfinite(topv_l),
                                  jax.nn.sigmoid(topv_l), -jnp.inf)
             else:
