@@ -44,11 +44,16 @@ class Response:
 
 
 class BatchedDetectionServer:
-    def __init__(self, pipelines: dict[str, Callable], batch_size: int,
-                 max_delay_s: float = 0.01):
+    def __init__(self, pipelines: dict[str, Callable], batch_size,
+                 max_delay_s: float = 0.01, input_dtype=None):
         """pipelines: {name: jitted fn [B,H,W,3] -> (boxes, scores,
-        labels, valid)} — all with the same static batch size."""
+        labels, valid)}. batch_size: int, or {model: int} for per-model
+        static batch sizes. input_dtype: cast batches before dispatch so
+        request dtype can't trigger a recompile (bfloat16 pipelines!)."""
         self.pipelines = pipelines
+        self.input_dtype = input_dtype
+        if isinstance(batch_size, int):
+            batch_size = {m: batch_size for m in pipelines}
         self.batch_size = batch_size
         self.max_delay_s = max_delay_s
         self.queues: dict[str, deque] = {m: deque() for m in pipelines}
@@ -63,22 +68,28 @@ class BatchedDetectionServer:
 
     def _flush(self, model: str) -> list[Response]:
         q = self.queues[model]
-        n = min(len(q), self.batch_size)
+        bs = self.batch_size[model]
+        n = min(len(q), bs)
         items = [q.popleft() for _ in range(n)]
         imgs = np.stack([it[0].image for it in items])
-        if n < self.batch_size:  # pad to the static batch
-            pad = np.repeat(imgs[-1:], self.batch_size - n, axis=0)
+        if n < bs:  # pad to the static batch
+            pad = np.repeat(imgs[-1:], bs - n, axis=0)
             imgs = np.concatenate([imgs, pad], axis=0)
+        batch = jnp.asarray(imgs) if self.input_dtype is None else \
+            jnp.asarray(imgs, self.input_dtype)
         boxes, scores, labels, valid = jax.block_until_ready(
-            self.pipelines[model](jnp.asarray(imgs)))
+            self.pipelines[model](batch))
+        # one device->host transfer per output tensor, NOT per request
+        boxes, scores, labels, valid = (np.asarray(boxes),
+                                        np.asarray(scores),
+                                        np.asarray(labels),
+                                        np.asarray(valid))
         now = time.perf_counter()
         out = []
         for i, (req, t_in) in enumerate(items):
             out.append(Response(
-                req.request_id, model,
-                np.asarray(boxes[i]), np.asarray(scores[i]),
-                np.asarray(labels[i]), np.asarray(valid[i]),
-                now - t_in))
+                req.request_id, model, boxes[i], scores[i], labels[i],
+                valid[i], now - t_in))
         return out
 
     def poll(self, force: bool = False) -> list[Response]:
@@ -86,7 +97,7 @@ class BatchedDetectionServer:
         out = []
         now = time.perf_counter()
         for model, q in self.queues.items():
-            while len(q) >= self.batch_size:
+            while len(q) >= self.batch_size[model]:
                 out.extend(self._flush(model))
             if q and (force or now >= self.deadlines.get(model, now)):
                 out.extend(self._flush(model))
