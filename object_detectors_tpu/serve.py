@@ -58,6 +58,11 @@ class BatchedDetectionServer:
         self.max_delay_s = max_delay_s
         self.queues: dict[str, deque] = {m: deque() for m in pipelines}
         self.deadlines: dict[str, float] = {}
+        # in-flight flushes: device work is dispatched WITHOUT blocking
+        # so consecutive batches pipeline on the device; responses are
+        # materialized in drain()/poll()
+        self.pending: deque = deque()
+        self.max_inflight = 4
 
     def submit(self, req: Request):
         q = self.queues[req.model]
@@ -77,19 +82,30 @@ class BatchedDetectionServer:
             imgs = np.concatenate([imgs, pad], axis=0)
         batch = jnp.asarray(imgs) if self.input_dtype is None else \
             jnp.asarray(imgs, self.input_dtype)
-        boxes, scores, labels, valid = jax.block_until_ready(
-            self.pipelines[model](batch))
+        outputs = self.pipelines[model](batch)  # async dispatch
+        self.pending.append((model, items, outputs))
+        out = []
+        if len(self.pending) > self.max_inflight:
+            out.extend(self._resolve(self.pending.popleft()))
+        return out
+
+    def _resolve(self, entry) -> list[Response]:
+        model, items, outputs = entry
+        boxes, scores, labels, valid = outputs
         # one device->host transfer per output tensor, NOT per request
         boxes, scores, labels, valid = (np.asarray(boxes),
                                         np.asarray(scores),
                                         np.asarray(labels),
                                         np.asarray(valid))
         now = time.perf_counter()
+        return [Response(req.request_id, model, boxes[i], scores[i],
+                         labels[i], valid[i], now - t_in)
+                for i, (req, t_in) in enumerate(items)]
+
+    def drain(self) -> list[Response]:
         out = []
-        for i, (req, t_in) in enumerate(items):
-            out.append(Response(
-                req.request_id, model, boxes[i], scores[i], labels[i],
-                valid[i], now - t_in))
+        while self.pending:
+            out.extend(self._resolve(self.pending.popleft()))
         return out
 
     def poll(self, force: bool = False) -> list[Response]:
@@ -101,6 +117,8 @@ class BatchedDetectionServer:
                 out.extend(self._flush(model))
             if q and (force or now >= self.deadlines.get(model, now)):
                 out.extend(self._flush(model))
+        if force:
+            out.extend(self.drain())
         return out
 
     def run_stream(self, requests) -> list[Response]:
@@ -114,17 +132,31 @@ class BatchedDetectionServer:
 
 
 def build_yolo_pipeline(num_classes=80, img_size=640, batch_size=64,
-                        dtype=jnp.bfloat16, topk=512, max_det=100):
-    """Standard YOLO serving pipeline (shares the bench graph)."""
+                        dtype=jnp.bfloat16, topk=512, max_det=100,
+                        uint8_input=False):
+    """Standard YOLO serving pipeline (shares the bench graph).
+
+    uint8_input=True prepends the fused on-device normalize (Pallas /
+    XLA) so requests ship raw uint8 — 4x less host->device traffic and
+    no host-side bf16 conversion (ml_dtypes casts are glacial)."""
     import bench as bench_mod
 
-    return bench_mod.build_pipeline(num_classes, img_size, topk, max_det,
+    core = bench_mod.build_pipeline(num_classes, img_size, topk, max_det,
                                     dtype)
+    if not uint8_input:
+        return core
+    from object_detectors_tpu.kernels.preprocess import preprocess_images
+
+    @jax.jit
+    def fn(u8_images):
+        return core(preprocess_images(u8_images, dtype))
+
+    return fn
 
 
 def build_retinanet_pipeline(num_classes=91, img_size=640,
                              resnet_layers=(3, 4, 6, 3),
-                             dtype=jnp.bfloat16):
+                             dtype=jnp.bfloat16, uint8_input=False):
     from object_detectors_tpu.models import anchors as anchor_lib
     from object_detectors_tpu.models import retinanet as RN
 
@@ -143,6 +175,12 @@ def build_retinanet_pipeline(num_classes=91, img_size=640,
 
     @jax.jit
     def infer(images):
+        if uint8_input:
+            from object_detectors_tpu.kernels.preprocess import (
+                preprocess_images,
+            )
+
+            images = preprocess_images(images, dtype)
         cls, reg, level_sizes = model.apply(variables, images,
                                             train=False)
         return RN.retinanet_postprocess(

@@ -54,12 +54,30 @@ def test_partial_batch_flush():
     assert out[0].scores[0] == pytest.approx(0.5, abs=1e-5)
 
 
-def test_full_batches_flush_eagerly():
+def test_full_batches_dispatch_eagerly_resolve_on_drain():
     server = BatchedDetectionServer({"m": fake_pipeline(0)}, batch_size=2,
                                     max_delay_s=100.0)
     responses = []
     for i in range(4):
         server.submit(make_req(i, "m", i / 4))
         responses.extend(server.poll())
-    # with batch 2 and 4 requests, both batches flushed without force
+    # both batches were dispatched (queues empty) but results pipeline
+    # in flight until drained
+    assert all(len(q) == 0 for q in server.queues.values())
+    assert len(server.pending) == 2
+    responses.extend(server.drain())
     assert len(responses) == 4
+
+
+def test_inflight_bound_forces_resolution():
+    server = BatchedDetectionServer({"m": fake_pipeline(0)}, batch_size=1,
+                                    max_delay_s=100.0)
+    server.max_inflight = 2
+    responses = []
+    for i in range(6):
+        server.submit(make_req(i, "m", 0.1))
+        responses.extend(server.poll())
+    # 6 dispatches with max 2 in flight -> at least 4 resolved already
+    assert len(responses) >= 4
+    responses.extend(server.drain())
+    assert len(responses) == 6
