@@ -468,27 +468,15 @@ def main(argv=None):
 def _save(ckpt, tag, train_state, epoch, metric):
     if jax.process_index() != 0:
         return
-    import json
-
-    path = ckpt._path(tag)
-    ckpt._ckptr.save(path, train_state, force=True)
-    ckpt._ckptr.wait_until_finished()
-    with open(path + ".meta.json", "w") as f:
-        json.dump({"epoch": epoch, "metrics": {"mAP": metric}}, f)
+    ckpt.save_raw(tag, train_state, epoch, {"mAP": metric})
 
 
 def _restore(ckpt, tag, template):
-    import json
-
-    path = ckpt._path(tag)
-    if not os.path.exists(path):
+    out = ckpt.restore_raw(tag, template)
+    if out is None:
         return None
-    restored = ckpt._ckptr.restore(path, template)
-    epoch = 0
-    if os.path.exists(path + ".meta.json"):
-        with open(path + ".meta.json") as f:
-            epoch = json.load(f).get("epoch", 0) + 1
-    return restored, epoch
+    restored, epoch, _metrics = out
+    return restored, epoch + 1
 
 
 if __name__ == "__main__":

@@ -48,6 +48,12 @@ class RoIHeadsConfig:
     score_thresh: float = 0.05
     nms_thresh: float = 0.5
     detections_per_img: int = 100
+    # candidates entering NMS after the (proposal, class) flatten —
+    # greedy NMS only ever consults higher-scored boxes, so keeping the
+    # top-k prefix is exact as long as >= detections_per_img survivors
+    # live inside it; without the cap the O(N^2) IoU matrix explodes
+    # (1000 proposals x 1202 LVIS classes = 1.2M pairs).
+    pre_nms_candidates: int = 1000
     loss_type: str = "ce"          # ce|bce|focal_loss|gombit|gombit_fl
     pool_size: tuple = (7, 7)
 
@@ -237,9 +243,14 @@ def postprocess_detections(
         fvalid = jnp.broadcast_to(pvalid[:, None], (p, c - 1)).reshape(-1)
         fvalid &= fscores > cfg.score_thresh
         fvalid &= box_ops.small_box_mask(fboxes, 1e-2)
+        # cap NMS input (exact for the top prefix, see config note)
+        cap = min(cfg.pre_nms_candidates, fboxes.shape[0])
+        topv, topi = jax.lax.top_k(
+            jnp.where(fvalid, fscores, -jnp.inf), cap)
         ob, osc, olab, _, ovalid = N.batched_nms(
-            fboxes, fscores, flabels, cfg.nms_thresh,
-            cfg.detections_per_img, fvalid)
+            fboxes[topi], jnp.where(jnp.isfinite(topv), topv, 0.0),
+            flabels[topi], cfg.nms_thresh,
+            cfg.detections_per_img, jnp.isfinite(topv))
         return ob, osc, olab, ovalid
 
     return jax.vmap(per_image)(class_logits, box_regression, proposals,

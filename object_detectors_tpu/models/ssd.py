@@ -209,8 +209,15 @@ def _post_one(logits, reg, anchors, image_size, cfg, tfidf_post, k):
     flat_boxes = boxes[topi.reshape(-1)]
     flat_labels = jnp.repeat(jnp.arange(1, c, dtype=jnp.int32), k)
     valid = jnp.isfinite(flat_scores)
-    flat_scores = jnp.where(valid, flat_scores, 0.0)
+    # cap the NMS input to a global top-k prefix — exact for greedy NMS
+    # as long as >= detections_per_img survivors are inside it; without
+    # it the (C-1)*topk candidate set (481k on LVIS) makes the O(N^2)
+    # IoU matrix intractable.
+    cap = min(4 * cfg.detections_per_img + cfg.topk_candidates,
+              flat_scores.shape[0])
+    gv, gi = jax.lax.top_k(jnp.where(valid, flat_scores, -jnp.inf), cap)
     ob, osc, olab, _, ovalid = N.batched_nms(
-        flat_boxes, flat_scores, flat_labels, cfg.nms_thresh,
-        cfg.detections_per_img, valid)
+        flat_boxes[gi], jnp.where(jnp.isfinite(gv), gv, 0.0),
+        flat_labels[gi], cfg.nms_thresh,
+        cfg.detections_per_img, jnp.isfinite(gv))
     return ob, osc, olab, ovalid

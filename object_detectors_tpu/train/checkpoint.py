@@ -76,6 +76,35 @@ class CheckpointManager:
             metrics = meta.get("metrics", {})
         return new_state, epoch, metrics
 
+    def save_raw(self, tag: str, pytree, epoch: int, metrics: dict):
+        """Save an arbitrary pytree (no TrainState wrapping) + sidecar."""
+        import json
+
+        path = self._path(tag)
+        self._ckptr.save(path, pytree, force=True)
+        self._ckptr.wait_until_finished()
+        with open(path + ".meta.json", "w") as f:
+            json.dump({"epoch": int(epoch),
+                       "metrics": {k: float(v)
+                                   for k, v in metrics.items()}}, f)
+
+    def restore_raw(self, tag: str, template):
+        """Restore an arbitrary pytree; returns (pytree, epoch, metrics)
+        or None if absent."""
+        import json
+
+        path = self._path(tag)
+        if not os.path.exists(path):
+            return None
+        restored = self._ckptr.restore(path, template)
+        epoch, metrics = 0, {}
+        meta = path + ".meta.json"
+        if os.path.exists(meta):
+            with open(meta) as f:
+                m = json.load(f)
+            epoch, metrics = m.get("epoch", 0), m.get("metrics", {})
+        return restored, epoch, metrics
+
     def save_epoch(self, state, epoch: int, metrics: dict,
                    metric_value: float, best_so_far: float,
                    mode: str = "max") -> float:
