@@ -224,9 +224,6 @@ def postprocess_detections(
     bsz, p, c = class_logits.shape
 
     def per_image(logits, reg, props, pvalid):
-        decoded = box_ops.decode_boxes(
-            reg.reshape(p, c, 4), props[:, None, :], cfg.box_weights)
-        decoded = box_ops.clip_boxes_to_image(decoded, image_size)
         scaled = logits * tfidf_post
         if cfg.loss_type == "ce":
             scores = jax.nn.softmax(scaled, -1)
@@ -234,23 +231,30 @@ def postprocess_detections(
             scores = _gombit_prob(scaled)
         else:
             scores = jax.nn.sigmoid(scaled)
-        # drop background column, flatten (proposal, class) pairs
-        fboxes = decoded[:, 1:, :].reshape(-1, 4)
+        # drop background column, flatten (proposal, class) pairs;
+        # select the NMS candidates FIRST, decode boxes only for them
+        # (exact: box validity (small-box) can only drop candidates, and
+        # greedy NMS never consults anything below the kept prefix)
         fscores = scores[:, 1:].reshape(-1)
-        flabels = jnp.broadcast_to(
-            jnp.arange(1, c, dtype=jnp.int32)[None, :], (p, c - 1)
-        ).reshape(-1)
         fvalid = jnp.broadcast_to(pvalid[:, None], (p, c - 1)).reshape(-1)
         fvalid &= fscores > cfg.score_thresh
-        fvalid &= box_ops.small_box_mask(fboxes, 1e-2)
-        # cap NMS input (exact for the top prefix, see config note)
-        cap = min(cfg.pre_nms_candidates, fboxes.shape[0])
+        cap = min(cfg.pre_nms_candidates, fscores.shape[0])
         topv, topi = jax.lax.top_k(
             jnp.where(fvalid, fscores, -jnp.inf), cap)
+        prop_idx = topi // (c - 1)
+        cls_idx = topi % (c - 1) + 1  # skip background column
+        sel_reg = jnp.take_along_axis(
+            reg.reshape(p, c, 4)[prop_idx], cls_idx[:, None, None], axis=1
+        )[:, 0]
+        sel_boxes = box_ops.decode_boxes(
+            sel_reg, props[prop_idx], cfg.box_weights)
+        sel_boxes = box_ops.clip_boxes_to_image(sel_boxes, image_size)
+        valid = jnp.isfinite(topv) & box_ops.small_box_mask(
+            sel_boxes, 1e-2)
         ob, osc, olab, _, ovalid = N.batched_nms(
-            fboxes[topi], jnp.where(jnp.isfinite(topv), topv, 0.0),
-            flabels[topi], cfg.nms_thresh,
-            cfg.detections_per_img, jnp.isfinite(topv))
+            sel_boxes, jnp.where(valid, topv, 0.0),
+            cls_idx.astype(jnp.int32), cfg.nms_thresh,
+            cfg.detections_per_img, valid)
         return ob, osc, olab, ovalid
 
     return jax.vmap(per_image)(class_logits, box_regression, proposals,
