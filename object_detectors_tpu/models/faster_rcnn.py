@@ -26,7 +26,7 @@ from object_detectors_tpu.models import roi_heads as RH
 from object_detectors_tpu.models import rpn as RPN
 from object_detectors_tpu.models.resnet import BackboneWithFPN, ResNet
 from object_detectors_tpu.ops import boxes as box_ops
-from object_detectors_tpu.ops.roi_align import multiscale_roi_align
+from object_detectors_tpu.ops.roi_align import multiscale_roi_align_flat as multiscale_roi_align
 
 
 @dataclasses.dataclass(frozen=True)

@@ -33,7 +33,8 @@ from object_detectors_tpu.models import rpn as RPN
 from object_detectors_tpu.models import anchors as anchor_lib
 from object_detectors_tpu.models.resnet import BackboneWithFPN, ResNet
 from object_detectors_tpu.ops import boxes as box_ops
-from object_detectors_tpu.ops.roi_align import multiscale_roi_align, roi_align
+from object_detectors_tpu.ops.roi_align import multiscale_roi_align_flat as multiscale_roi_align
+from object_detectors_tpu.ops.roi_align import roi_align
 
 
 class MaskRCNNHeads(nn.Module):

@@ -21,6 +21,7 @@ import math
 from functools import partial
 from typing import Sequence
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -128,3 +129,84 @@ def multiscale_roi_align(
     stacked = jnp.stack(per_level, axis=0)  # [L, N, oh, ow, C]
     return jnp.take_along_axis(
         stacked, levels[None, :, None, None, None], axis=0)[0]
+
+
+@partial(jax.jit, static_argnames=("output_size", "sampling_ratio",
+                                   "image_size"))
+def multiscale_roi_align_flat(
+    features: Sequence[jnp.ndarray],   # per level [H_l, W_l, C]
+    boxes: jnp.ndarray,                # [N, 4] xyxy image coords
+    image_size: tuple,
+    output_size: tuple = (7, 7),
+    sampling_ratio: int = 2,
+) -> jnp.ndarray:
+    """Exact multiscale RoIAlign without per-level redundancy.
+
+    All levels are flattened into one [sum H_l*W_l, C] buffer; each RoI's
+    bilinear sample indices are computed in its assigned level's
+    coordinate frame and offset into the flat buffer, so there is ONE
+    gather pass instead of len(levels) RoIAligns + select (the
+    :func:`multiscale_roi_align` fallback computes every level).
+    """
+    num_levels = len(features)
+    c = features[0].shape[-1]
+    oh, ow = output_size
+    s = sampling_ratio
+    n = boxes.shape[0]
+
+    heights = jnp.asarray([f.shape[0] for f in features], jnp.float32)
+    widths = jnp.asarray([f.shape[1] for f in features], jnp.float32)
+    offsets = jnp.asarray(
+        np.cumsum([0] + [f.shape[0] * f.shape[1] for f in features])[:-1],
+        jnp.int32)
+    flat = jnp.concatenate([f.reshape(-1, c) for f in features], axis=0)
+
+    levels = assign_fpn_levels(boxes, num_levels)
+    lh = heights[levels]          # [N]
+    lw = widths[levels]
+    scale = lh / image_size[0]    # square-canvas scale per roi
+    off = offsets[levels]         # [N]
+
+    b = boxes * scale[:, None]
+    x1, y1, x2, y2 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+    roi_w = jnp.maximum(x2 - x1, 1.0)
+    roi_h = jnp.maximum(y2 - y1, 1.0)
+    bin_w = roi_w / ow
+    bin_h = roi_h / oh
+
+    iy = jnp.arange(oh, dtype=jnp.float32)
+    ix = jnp.arange(ow, dtype=jnp.float32)
+    ky = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
+    ys = (y1[:, None, None]
+          + (iy[None, :, None] + ky[None, None, :]) * bin_h[:, None, None])
+    xs = (x1[:, None, None]
+          + (ix[None, :, None] + ky[None, None, :]) * bin_w[:, None, None])
+    ys_g = jnp.broadcast_to(ys[:, :, None, :, None], (n, oh, ow, s, s))
+    xs_g = jnp.broadcast_to(xs[:, None, :, None, :], (n, oh, ow, s, s))
+
+    hh = lh[:, None, None, None, None]
+    ww = lw[:, None, None, None, None]
+    outside = (ys_g < -1.0) | (ys_g > hh) | (xs_g < -1.0) | (xs_g > ww)
+    y = jnp.clip(ys_g, 0.0, hh - 1)
+    x = jnp.clip(xs_g, 0.0, ww - 1)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y1i = jnp.minimum(y0 + 1, (hh - 1).astype(jnp.int32))
+    x1i = jnp.minimum(x0 + 1, (ww - 1).astype(jnp.int32))
+    ly = (y - y0)[..., None]
+    lx = (x - x0)[..., None]
+
+    w_i = lw.astype(jnp.int32)[:, None, None, None, None]
+    base = off[:, None, None, None, None]
+
+    def at(yi, xi):
+        return flat[base + yi * w_i + xi]
+
+    v00 = at(y0, x0)
+    v01 = at(y0, x1i)
+    v10 = at(y1i, x0)
+    v11 = at(y1i, x1i)
+    out = ((1 - ly) * (1 - lx) * v00 + (1 - ly) * lx * v01
+           + ly * (1 - lx) * v10 + ly * lx * v11)
+    out = jnp.where(outside[..., None], 0.0, out)
+    return jnp.mean(out, axis=(3, 4))

@@ -92,3 +92,20 @@ def test_multiscale_selects_level():
     np.testing.assert_allclose(out[0], 1.0, rtol=1e-5)
     np.testing.assert_allclose(out[1], 2.0, rtol=1e-5)
     np.testing.assert_allclose(out[2], 3.0, rtol=1e-5)
+
+
+def test_flat_multiscale_matches_per_level():
+    """multiscale_roi_align_flat (single flattened-pyramid gather) is
+    exactly the per-level compute+select implementation."""
+    rng = np.random.RandomState(3)
+    feats = [jnp.asarray(rng.rand(64 // k, 64 // k, 8).astype(np.float32))
+             for k in (1, 2, 4, 8)]
+    boxes = np.concatenate(
+        [rng.rand(32, 2) * 200, rng.rand(32, 2) * 200 + 40], 1
+    ).astype(np.float32)
+    boxes[:, 2:] = np.maximum(boxes[:, 2:], boxes[:, :2] + 4)
+    a = np.asarray(RA.multiscale_roi_align(
+        feats, jnp.asarray(boxes), (256, 256), (7, 7)))
+    b = np.asarray(RA.multiscale_roi_align_flat(
+        feats, jnp.asarray(boxes), (256, 256), (7, 7)))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
