@@ -142,16 +142,21 @@ class ModelAdapter:
 
     def __init__(self, name: str, num_classes: int, image_size: int,
                  loss_type: str = "ce", tfidf=1.0, resnet_layers=(3, 4, 6, 3),
-                 small: bool = False):
+                 small: bool = False, class_weights=None,
+                 tfidf_mini_batch: bool = False, tfidf_norm: int = 0):
         self.name = name
         self.image_size = image_size
         self.tfidf = tfidf
+        # the two-stage models take tfidf as a vector arg (None = off)
+        self.tfidf_vec = tfidf if np.ndim(tfidf) > 0 else None
+        self.class_weights = class_weights
         rpn_cfg = RPN.RPNConfig() if not small else RPN.RPNConfig(
             pre_nms_top_n_train=64, pre_nms_top_n_test=64,
             post_nms_top_n_train=32, post_nms_top_n_test=16,
             batch_size_per_image=32)
         roi_cfg = RH.RoIHeadsConfig(
             num_classes=num_classes, loss_type=loss_type,
+            tfidf_mini_batch=tfidf_mini_batch, tfidf_norm=tfidf_norm,
             **({"batch_size_per_image": 16, "detections_per_img": 10}
                if small else {}))
         if name == "fasterrcnn_resnet50_fpn":
@@ -163,11 +168,15 @@ class ModelAdapter:
                 num_classes=num_classes, rpn=rpn_cfg, roi=roi_cfg,
                 resnet_layers=tuple(resnet_layers)))
         elif name == "retinanet_resnet50_fpn":
-            self.cfg = RN.RetinaNetConfig(num_classes=num_classes)
+            self.cfg = RN.RetinaNetConfig(
+                num_classes=num_classes,
+                tfidf_mini_batch=tfidf_mini_batch, tfidf_norm=tfidf_norm)
             self.model = RN.RetinaNet(num_classes=num_classes,
                                       resnet_layers=tuple(resnet_layers))
         elif name == "ssd300_vgg16":
-            self.cfg = SSD.SSDConfig(num_classes=num_classes)
+            self.cfg = SSD.SSDConfig(
+                num_classes=num_classes,
+                tfidf_mini_batch=tfidf_mini_batch, tfidf_norm=tfidf_norm)
             self.model = SSD.SSD300(self.cfg)
         else:
             raise ValueError(name)
@@ -216,6 +225,8 @@ class ModelAdapter:
                     gm = jnp.zeros((b, m) + imgs.shape[1:3])
                 args = args + (gm,)
             return self.model.apply(variables, *args, train=True,
+                                    tfidf=self.tfidf_vec,
+                                    class_weights=self.class_weights,
                                     rngs={"sampler": rng})
         if self.name == "retinanet_resnet50_fpn":
             cls, reg, level_sizes = self.model.apply(
@@ -249,9 +260,11 @@ class ModelAdapter:
     def detect(self, variables, images):
         s = self.image_size
         if self.name in ("fasterrcnn_resnet50_fpn",):
-            return self.model.apply(variables, images, train=False)
+            return self.model.apply(variables, images, train=False,
+                                    tfidf=self.tfidf_vec)
         if self.name == "maskrcnn_resnet50_fpn":
-            out = self.model.apply(variables, images, train=False)
+            out = self.model.apply(variables, images, train=False,
+                                   tfidf=self.tfidf_vec)
             return out[:4]  # boxes, scores, labels, valid (masks extra)
         if self.name == "retinanet_resnet50_fpn":
             cls, reg, level_sizes = self.model.apply(
@@ -289,6 +302,35 @@ def build_tfidf_vector(args, gt_train, num_classes):
     return jnp.asarray(vec)
 
 
+def build_csl_weights(args, gt_train, num_classes):
+    """train.py:121-135: CSL classification weights. 'eff_samp' builds
+    effective-number weights (1-b)/(1-b^n) from instance_freq with
+    weight 1 at background; any other value picks an idf table column;
+    None disables."""
+    if not args.csl:
+        return None
+    tables = idf_lib.idf_tables(gt_train)
+    kept = tables["_kept_category_ids"]
+    if args.csl == "eff_samp":
+        freq = np.zeros(num_classes, np.float64)
+        for i, cid in enumerate(kept):
+            if cid < num_classes:
+                freq[cid] = tables["instance_freq"][i]
+        beta = 0.9999
+        eff = 1.0 - np.power(beta, freq)
+        w = np.where(eff > 0, (1.0 - beta) / np.maximum(eff, 1e-12), 1.0)
+        w[0] = 1.0  # background stays unweighted (train.py:128)
+        return jnp.asarray(w, jnp.float32)
+    col = tables.get(args.csl)
+    if col is None:
+        raise SystemExit(f"unknown csl column {args.csl}")
+    vec = np.ones(num_classes, np.float32)
+    for i, cid in enumerate(kept):
+        if cid < num_classes:
+            vec[cid] = col[i]
+    return jnp.asarray(vec)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset", default="synthetic",
@@ -310,6 +352,12 @@ def main(argv=None):
     ap.add_argument("--tfidf", default=None,
                     help="idf column name, e.g. smooth / raw / gombit")
     ap.add_argument("--tfidf-norm", type=int, default=0)
+    ap.add_argument("--tfidf_mini_batch", "--tfidf-mini-batch",
+                    action="store_true", dest="tfidf_mini_batch",
+                    help="recompute tfidf per minibatch (train.py:246)")
+    ap.add_argument("--csl", default=None,
+                    help="cost-sensitive class weights: 'eff_samp' or an "
+                         "idf column (train.py:121-135)")
     ap.add_argument("--classif", default="ce",
                     choices=["ce", "bce", "focal_loss", "gombit",
                              "gombit_fl"])
@@ -364,11 +412,14 @@ def main(argv=None):
     gt_train, gt_val = train_ds.gt, val_ds.gt
 
     tfidf_vec = build_tfidf_vector(args, gt_train, num_classes)
+    csl_weights = build_csl_weights(args, gt_train, num_classes)
     adapter = ModelAdapter(
         args.model, num_classes, args.image_size,
         loss_type=args.classif, tfidf=tfidf_vec,
         resnet_layers=(1, 1, 1, 1) if args.small else (3, 4, 6, 3),
-        small=args.small)
+        small=args.small, class_weights=csl_weights,
+        tfidf_mini_batch=args.tfidf_mini_batch,
+        tfidf_norm=args.tfidf_norm)
 
     mesh = mesh_lib.make_mesh_for_batch(args.batch_size)
     variables = adapter.init_variables(jax.random.key(args.seed))

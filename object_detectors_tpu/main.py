@@ -67,6 +67,8 @@ def build_loss_config(cfg: Config) -> YC.YoloLossConfig:
         gamma=float(y.gamma),
         class_loss=int(y.class_loss),
         reduction=str(y.reduction),
+        tfidf_batch=bool(y.get("tfidf_batch", False)),
+        tfidf_norm=int(y.get("tfidf_norm", 0)),
     )
 
 
@@ -215,7 +217,11 @@ def train_one_epoch(state, cfg, loss_cfg, dataset, mesh, epoch,
         sub_sum += np.asarray(metrics["sub_losses"])
         stat_sum += np.asarray(metrics["stats"])
         n_iters += 1
-        logger.update(loss=loss, lr=0.0)
+        try:  # real LR from the injected schedule hyperparameter
+            cur_lr = float(state.opt_state.hyperparams["learning_rate"])
+        except (AttributeError, KeyError, TypeError):
+            cur_lr = float("nan")
+        logger.update(loss=loss, lr=cur_lr)
         if writer is not None and bool(cfg.track_epoch):
             writer.scalar("iter/loss", loss,
                           epoch * 10_000 + i)
@@ -320,7 +326,11 @@ def train_pipeline(cfg: Config):
         model=int(cfg.get_path("mesh.model", 1)))
     loss_cfg = build_loss_config(cfg)
     model = build_model(cfg)
-    steps_per_epoch = 100
+    train_ds, gt_train = build_dataset(cfg, "train")
+    val_ds, gt_val = build_dataset(cfg, "val")
+    # dataset-derived, so multistep/cyclic schedules scale correctly
+    steps_per_epoch = max(
+        len(train_ds) // int(cfg.dataset.tr_batch_size), 1)
     tx = optim_lib.make_optimizer(
         optim_lib.OptimizerConfig(
             name=str(cfg.optimizer.name),
@@ -341,8 +351,6 @@ def train_pipeline(cfg: Config):
         model, tx, loss_cfg.img_size, jax.random.key(int(cfg.seed)))
     state = mesh_lib.put_replicated(state, mesh)
 
-    train_ds, gt_train = build_dataset(cfg, "train")
-    val_ds, gt_val = build_dataset(cfg, "val")
     class_weights, idf_logits, _rare = build_tfidf(cfg, gt_train)
 
     ckpt = ckpt_lib.CheckpointManager(

@@ -55,8 +55,14 @@ class FasterRCNN(nn.Module):
             self.cfg.num_classes, dtype=self.dtype, name="box_predictor")
 
     def __call__(self, images, gt_boxes=None, gt_labels=None, gt_valid=None,
-                 train: bool = False):
+                 train: bool = False, tfidf=None, class_weights=None):
         """images [B, H, W, 3]. Train mode needs gt_* and a 'sampler' rng.
+
+        tfidf: optional [num_classes] logit-scale vector (the reference's
+        tfidf['values'], roi_heads.py:571-572) — scales the class logits
+        in the training loss and in eval postprocess (tfidf_post).
+        class_weights: optional [num_classes] CE weights (CSL,
+        train.py:121-135 / roi_heads.py:827).
 
         Returns train: loss dict; eval: (boxes, scores, labels, valid).
         """
@@ -86,7 +92,7 @@ class FasterRCNN(nn.Module):
             rpn_losses = RPN.rpn_loss(
                 objectness, pred_deltas, anchors, gt_boxes, gt_valid,
                 k_rpn, cfg.rpn)
-            s_boxes, s_labels, reg_targets, s_pos, s_sampled = (
+            s_boxes, s_labels, reg_targets, s_pos, s_sampled, _ = (
                 RH.select_training_samples(
                     prop_boxes, prop_valid, gt_boxes, gt_labels, gt_valid,
                     k_roi, cfg.roi))
@@ -106,11 +112,17 @@ class FasterRCNN(nn.Module):
         box_regression = box_regression.astype(jnp.float32)
 
         if train:
+            scale = RH.training_tfidf_scale(gt_labels, gt_valid, cfg.roi,
+                                            tfidf)
             det_losses = RH.fastrcnn_loss(
-                class_logits, box_regression, s_labels, reg_targets,
-                s_sampled, cfg.roi)
+                class_logits * scale, box_regression, s_labels,
+                reg_targets, s_sampled, cfg.roi,
+                class_weights=class_weights)
             return {**det_losses, **rpn_losses}
 
+        # tfidf_post is the dataset vector even under minibatch training
+        # (roi_heads.py:571 clones tfidf['values'] before any recompute)
         return RH.postprocess_detections(
             class_logits, box_regression, roi_boxes, prop_valid,
-            (img_h, img_w), cfg.roi)
+            (img_h, img_w), cfg.roi,
+            tfidf_post=1.0 if tfidf is None else tfidf)

@@ -204,7 +204,8 @@ class MaskRCNN(nn.Module):
             self.cfg.num_classes, dtype=self.dtype, name="mask_predictor")
 
     def __call__(self, images, gt_boxes=None, gt_labels=None,
-                 gt_valid=None, gt_masks=None, train: bool = False):
+                 gt_valid=None, gt_masks=None, train: bool = False,
+                 tfidf=None, class_weights=None):
         cfg = self.cfg
         b, img_h, img_w, _ = images.shape
         feats = self.backbone(images, train)
@@ -229,7 +230,7 @@ class MaskRCNN(nn.Module):
             rpn_losses = RPN.rpn_loss(
                 objectness, pred_deltas, anchors, gt_boxes, gt_valid,
                 k_rpn, cfg.rpn)
-            s_boxes, s_labels, reg_targets, s_pos, s_sampled = (
+            s_boxes, s_labels, reg_targets, s_pos, s_sampled, s_matched = (
                 RH.select_training_samples(
                     prop_boxes, prop_valid, gt_boxes, gt_labels, gt_valid,
                     k_roi, cfg.roi))
@@ -247,9 +248,12 @@ class MaskRCNN(nn.Module):
         box_regression = box_regression.astype(jnp.float32)
 
         if train:
+            scale = RH.training_tfidf_scale(gt_labels, gt_valid, cfg.roi,
+                                            tfidf)
             det_losses = RH.fastrcnn_loss(
-                class_logits, box_regression, s_labels, reg_targets,
-                s_sampled, cfg.roi)
+                class_logits * scale, box_regression, s_labels,
+                reg_targets, s_sampled, cfg.roi,
+                class_weights=class_weights)
             # mask branch on the positive samples (we keep the full
             # fixed-size sample set and mask the loss by positivity)
             mask_pooled = jax.vmap(
@@ -261,20 +265,17 @@ class MaskRCNN(nn.Module):
             m_out = ml.shape[1]
             mask_logits = ml.reshape(
                 b, -1, m_out, m_out, cfg.num_classes).astype(jnp.float32)
-            # recover matched gt index per sampled proposal: rematch
-            matched = jax.vmap(
-                lambda gb, gv, pr: jnp.argmax(jnp.where(
-                    gv[:, None],
-                    box_ops.pairwise_iou(gb, pr), -1.0), axis=0)
-            )(gt_boxes, gt_valid, roi_boxes).astype(jnp.int32)
+            # reuse the sampler's matched GT index (roi_heads.py:841-849)
+            # rather than a fresh argmax that can disagree on ties
             loss_mask = maskrcnn_loss(
-                mask_logits, roi_boxes, gt_masks, gt_labels, matched,
+                mask_logits, roi_boxes, gt_masks, gt_labels, s_matched,
                 s_pos)
             return {**det_losses, **rpn_losses, "loss_mask": loss_mask}
 
         boxes, scores, labels, valid = RH.postprocess_detections(
             class_logits, box_regression, roi_boxes, prop_valid,
-            (img_h, img_w), cfg.roi)
+            (img_h, img_w), cfg.roi,
+            tfidf_post=1.0 if tfidf is None else tfidf)
         mask_pooled = jax.vmap(
             lambda fs, bx: multiscale_roi_align(
                 fs, bx, (img_h, img_w), cfg.mask_pool_size)

@@ -51,6 +51,11 @@ class RetinaNetConfig:
     box_weights: tuple = (1.0, 1.0, 1.0, 1.0)
     focal_alpha: float = 0.25
     focal_gamma: float = 2.0
+    # per-minibatch tf-idf recompute (retinanet.py:125-134): replaces the
+    # dataset tfidf vector with log((B+1)/(df_batch+1))+1, optionally
+    # Lp-normalized by tfidf_norm.
+    tfidf_mini_batch: bool = False
+    tfidf_norm: int = 0
 
 
 class RetinaNetHead(nn.Module):
@@ -137,6 +142,12 @@ def retinanet_loss(
     tfidf: jnp.ndarray | float = 1.0,
 ):
     """Returns dict(classification=..., bbox_regression=...)."""
+    if cfg.tfidf_mini_batch:
+        from object_detectors_tpu.data.idf import minibatch_idf
+
+        tfidf = minibatch_idf(gt_labels, gt_valid, cls_logits.shape[-1])
+        if cfg.tfidf_norm:
+            tfidf = tfidf / jnp.linalg.norm(tfidf, ord=cfg.tfidf_norm)
     matched = jax.vmap(_match_per_image, (0, 0, None, None))(
         gt_boxes, gt_valid, anchors, cfg)  # [B, A]
 

@@ -56,6 +56,13 @@ class RoIHeadsConfig:
     pre_nms_candidates: int = 1000
     loss_type: str = "ce"          # ce|bce|focal_loss|gombit|gombit_fl
     pool_size: tuple = (7, 7)
+    # tf-idf minibatch recompute (roi_heads.py:801-809 / train.py:115):
+    # when True the training logit scale is log((B+1)/(df_batch+1))+1
+    # from the batch's per-image class presence, replacing the dataset
+    # tfidf vector; tfidf_norm (0 = off, else the p of an Lp norm)
+    # normalizes the recomputed vector like the reference.
+    tfidf_mini_batch: bool = False
+    tfidf_norm: int = 0
 
 
 class TwoMLPHead(nn.Module):
@@ -134,7 +141,10 @@ def _select_per_image(proposals, prop_valid, gt_boxes, gt_labels, gt_valid,
     # only reads positive rows, but inf * 0 = NaN, so zero them here.
     reg_targets = jnp.where(s_pos[:, None], jnp.nan_to_num(reg_targets), 0.0)
     s_labels = jnp.where(s_sampled, s_labels, 0)
-    return s_boxes, s_labels, reg_targets, s_pos, s_sampled
+    # s_matched is the matcher's GT index per sample — mask/keypoint
+    # branches reuse it (roi_heads.py:841-849 reuses matched_idxs) instead
+    # of re-deriving by a fresh argmax that can disagree on ties.
+    return s_boxes, s_labels, reg_targets, s_pos, s_sampled, s_matched
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -151,6 +161,23 @@ def select_training_samples(
     return jax.vmap(_select_per_image,
                     (0, 0, 0, 0, 0, 0, None))(
         proposals, prop_valid, gt_boxes, gt_labels, gt_valid, keys, cfg)
+
+
+def training_tfidf_scale(gt_labels, gt_valid, cfg: RoIHeadsConfig,
+                         tfidf=None):
+    """The logit scale applied inside the training classification loss:
+    the dataset tfidf vector (roi_heads.py:826 `self.tfidf*class_logits`),
+    or — when cfg.tfidf_mini_batch — the per-batch recompute
+    log((B+1)/(df+1))+1 with optional Lp normalization
+    (roi_heads.py:801-809)."""
+    if cfg.tfidf_mini_batch:
+        from object_detectors_tpu.data.idf import minibatch_idf
+
+        scale = minibatch_idf(gt_labels, gt_valid, cfg.num_classes)
+        if cfg.tfidf_norm:
+            scale = scale / jnp.linalg.norm(scale, ord=cfg.tfidf_norm)
+        return scale
+    return 1.0 if tfidf is None else tfidf
 
 
 def _gombit_prob(logits):

@@ -42,6 +42,9 @@ class SSDConfig:
     topk_candidates: int = 400
     neg_to_pos_ratio: int = 3
     box_weights: tuple = (10.0, 10.0, 5.0, 5.0)
+    # per-minibatch tf-idf recompute (ssd.py:269-278), like RetinaNet's
+    tfidf_mini_batch: bool = False
+    tfidf_norm: int = 0
 
 
 def _conv(f, k, name, strides=1, padding="SAME", dilation=1, dtype=jnp.float32):
@@ -149,6 +152,12 @@ def ssd_loss(
     tfidf: jnp.ndarray | float = 1.0,
 ):
     b, a, c = cls_logits.shape
+    if cfg.tfidf_mini_batch:
+        from object_detectors_tpu.data.idf import minibatch_idf
+
+        tfidf = minibatch_idf(gt_labels, gt_valid, c)
+        if cfg.tfidf_norm:
+            tfidf = tfidf / jnp.linalg.norm(tfidf, ord=cfg.tfidf_norm)
 
     def match_img(gb, gv):
         q = box_ops.pairwise_iou(gb, anchors)

@@ -61,6 +61,10 @@ class YoloLossConfig:
     gamma: float = 1.0
     class_loss: int = CLASS_LOSS_CE
     reduction: str = "sum"
+    # tfidf_batch (head.yaml:21 / yolo_forw.py:87-91): recompute the idf
+    # logit scale from the minibatch instead of the dataset table.
+    tfidf_batch: bool = False
+    tfidf_norm: int = 0
 
 
 def make_priors(cfg: YoloLossConfig, grid_sizes: Sequence[int]):
@@ -234,6 +238,15 @@ def yolo_loss(
                      cfg.gamma, cfg.alpha) * nmask)
 
     # --- class loss ---
+    if cfg.tfidf_batch:
+        # yolo_forw.py:87-91: self.idf_logits = self.idf(targets) each
+        # batch, optionally Lp-normalized
+        from object_detectors_tpu.data.idf import minibatch_idf
+
+        idf_logits = minibatch_idf(gt_labels, gt_valid, cfg.num_classes)
+        if cfg.tfidf_norm:
+            idf_logits = idf_logits / jnp.linalg.norm(
+                idf_logits, ord=cfg.tfidf_norm)
     cls_logits = final[..., 5:] * idf_logits  # [B, M, C]
     labels_oh = jax.nn.one_hot(gt_labels, cfg.num_classes,
                                dtype=raw_pred.dtype)

@@ -92,6 +92,19 @@ def roi_align(
     return jnp.mean(samples, axis=(3, 4))
 
 
+def _infer_scale(feat_hw, image_size) -> float:
+    """torchvision MultiScaleRoIAlign.infer_scale: the spatial scale is
+    2^round(log2(feat/img)) per axis (exactly 1/stride even when the
+    canvas is not stride-divisible, e.g. ceil(800/64)=13 -> 1/64), and
+    both axes must agree."""
+    sy = 2.0 ** float(np.round(np.log2(feat_hw[0] / image_size[0])))
+    sx = 2.0 ** float(np.round(np.log2(feat_hw[1] / image_size[1])))
+    assert sy == sx, (
+        f"anisotropic FPN scale {sy} vs {sx} for feat {feat_hw} on "
+        f"canvas {image_size}")
+    return sy
+
+
 def assign_fpn_levels(
     boxes: jnp.ndarray,
     num_levels: int,
@@ -123,7 +136,7 @@ def multiscale_roi_align(
     levels = assign_fpn_levels(boxes, num_levels)
     per_level = []
     for lvl, feat in enumerate(features):
-        scale = feat.shape[0] / image_size[0]
+        scale = _infer_scale(feat.shape[:2], image_size)
         per_level.append(
             roi_align(feat, boxes, output_size, scale, sampling_ratio))
     stacked = jnp.stack(per_level, axis=0)  # [L, N, oh, ow, C]
@@ -161,10 +174,15 @@ def multiscale_roi_align_flat(
         jnp.int32)
     flat = jnp.concatenate([f.reshape(-1, c) for f in features], axis=0)
 
+    # torchvision spatial scales: exactly 1/stride per level (see
+    # _infer_scale), selected per-roi by FPN level assignment
+    scales = jnp.asarray(
+        [_infer_scale(f.shape[:2], image_size) for f in features],
+        jnp.float32)
     levels = assign_fpn_levels(boxes, num_levels)
     lh = heights[levels]          # [N]
     lw = widths[levels]
-    scale = lh / image_size[0]    # square-canvas scale per roi
+    scale = scales[levels]
     off = offsets[levels]         # [N]
 
     b = boxes * scale[:, None]

@@ -83,12 +83,18 @@ def test_select_training_samples_includes_gt():
     gt = jnp.asarray([[[10, 10, 30, 30], [40, 40, 60, 60]]], jnp.float32)
     gl = jnp.asarray([[2, 4]], jnp.int32)
     gv = jnp.ones((1, 2), bool)
-    s_boxes, s_labels, reg_t, s_pos, s_sampled = RH.select_training_samples(
-        proposals, prop_valid, gt, gl, gv, jax.random.key(0), TINY_ROI)
+    s_boxes, s_labels, reg_t, s_pos, s_sampled, s_matched = \
+        RH.select_training_samples(
+            proposals, prop_valid, gt, gl, gv, jax.random.key(0), TINY_ROI)
     assert s_boxes.shape == (1, 16, 4)
     pos_labels = np.asarray(s_labels)[np.asarray(s_pos)]
     assert set(pos_labels.tolist()) <= {2, 4}
     assert len(pos_labels) >= 2  # both GT self-matches are positives
+    # the matched GT index agrees with the sampled label (labels came
+    # from gt_labels[matched])
+    pos_matched = np.asarray(s_matched)[np.asarray(s_pos)]
+    assert all(np.asarray(gl)[0, m] == l
+               for m, l in zip(pos_matched, pos_labels))
     # positive reg targets for GT-exact proposals are ~0
     pos_t = np.asarray(reg_t)[np.asarray(s_pos)]
     assert np.abs(pos_t).max() < 1e-4
