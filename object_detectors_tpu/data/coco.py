@@ -98,11 +98,13 @@ class CocoDetectionDataset:
             "image_id": img_id,
             "orig_size": (info["height"], info["width"]),
         }
-        # keypoint annotations (coco_kp / get_coco_kp parity)
+        # keypoint annotations (coco_kp / get_coco_kp parity); anns
+        # missing the field get all-invisible keypoints
         if anns and "keypoints" in anns[0]:
+            k = len(anns[0]["keypoints"]) // 3
             target["keypoints"] = np.array(
-                [np.asarray(a["keypoints"], np.float32).reshape(-1, 3)
-                 for a in anns])
+                [np.asarray(a.get("keypoints", [0.0] * (3 * k)),
+                            np.float32).reshape(-1, 3) for a in anns])
         return image, target
 
 
@@ -179,14 +181,19 @@ def yolo_batches(
 
 
 def _prefetched(fn, starts, depth):
-    """Background-thread prefetch (DataLoader-worker stand-in)."""
+    """Background-thread prefetch (DataLoader-worker stand-in). Worker
+    exceptions re-raise in the consumer — a swallowed error would
+    silently truncate the epoch."""
     q: queue.Queue = queue.Queue(maxsize=depth)
     stop = object()
+    err: list[BaseException] = []
 
     def worker():
         try:
             for s in starts:
                 q.put(fn(s))
+        except BaseException as e:  # noqa: BLE001 — propagate to consumer
+            err.append(e)
         finally:
             q.put(stop)
 
@@ -195,5 +202,7 @@ def _prefetched(fn, starts, depth):
     while True:
         item = q.get()
         if item is stop:
+            if err:
+                raise err[0]
             break
         yield item

@@ -99,3 +99,39 @@ def masks_for_annotations(anns, h: int, w: int) -> np.ndarray:
     return np.stack([
         segmentation_to_mask(a["segmentation"], h, w).astype(np.float32)
         for a in anns])
+
+
+def paste_mask(mask: np.ndarray, box_xyxy, h: int, w: int,
+               padding: int = 1) -> np.ndarray:
+    """Host-side paste of one fixed-resolution mask prob map into an
+    [h, w] canvas — torchvision `paste_mask_in_image` semantics
+    (roi_heads.py:415-536): pad by 1, expand the box by the matching
+    scale, truncate-to-int box, bilinear resize to (bh, bw) with the
+    +1 TO_REMOVE convention, paste clipped.
+
+    Used to rescale predicted masks back to the ORIGINAL image size for
+    segm evaluation (`tvision/transform.py:228-240` postprocess), where
+    per-image sizes vary so a static-shape device op doesn't fit.
+    """
+    import cv2
+
+    m = mask.shape[0]
+    mp = m + 2 * padding
+    padded = np.zeros((mp, mp), np.float32)
+    padded[padding:padding + m, padding:padding + m] = mask
+    scale = mp / m
+    cx = (box_xyxy[0] + box_xyxy[2]) * 0.5
+    cy = (box_xyxy[1] + box_xyxy[3]) * 0.5
+    hw = (box_xyxy[2] - box_xyxy[0]) * 0.5 * scale
+    hh = (box_xyxy[3] - box_xyxy[1]) * 0.5 * scale
+    ib = np.array([cx - hw, cy - hh, cx + hw, cy + hh]).astype(np.int64)
+    bw = max(int(ib[2] - ib[0] + 1), 1)
+    bh = max(int(ib[3] - ib[1] + 1), 1)
+    resized = cv2.resize(padded, (bw, bh), interpolation=cv2.INTER_LINEAR)
+    out = np.zeros((h, w), np.float32)
+    x0, y0 = max(int(ib[0]), 0), max(int(ib[1]), 0)
+    x1, y1 = min(int(ib[2]) + 1, w), min(int(ib[3]) + 1, h)
+    if x1 > x0 and y1 > y0:
+        out[y0:y1, x0:x1] = resized[y0 - int(ib[1]):y1 - int(ib[1]),
+                                    x0 - int(ib[0]):x1 - int(ib[0])]
+    return out

@@ -49,9 +49,14 @@ def make_coco_dicts(
     img_size: int = 128,
     num_classes: int = 5,
     max_boxes: int = 6,
+    with_segmentation: bool = False,
+    with_keypoints: bool = False,
+    num_keypoints: int = 17,
 ):
     """COCO-format (images, annotations, categories) dicts for hermetic
-    evaluator tests — boxes in absolute [x, y, w, h]."""
+    evaluator tests — boxes in absolute [x, y, w, h]; optionally with
+    rectangular polygon segmentations matching the boxes (and the
+    rectangles render_image draws), enabling segm-mode eval tests."""
     images, annotations = [], []
     ann_id = 1
     for i in range(1, num_images + 1):
@@ -62,14 +67,25 @@ def make_coco_dicts(
             h = rng.uniform(8, img_size * 0.5)
             x = rng.uniform(0, img_size - w)
             y = rng.uniform(0, img_size - h)
-            annotations.append({
+            ann = {
                 "id": ann_id,
                 "image_id": i,
                 "category_id": int(rng.randint(1, num_classes + 1)),
                 "bbox": [float(x), float(y), float(w), float(h)],
                 "area": float(w * h),
                 "iscrowd": 0,
-            })
+            }
+            if with_segmentation:
+                ann["segmentation"] = [[
+                    float(x), float(y), float(x + w), float(y),
+                    float(x + w), float(y + h), float(x), float(y + h)]]
+            if with_keypoints:
+                kx = rng.uniform(x, x + w, num_keypoints)
+                ky = rng.uniform(y, y + h, num_keypoints)
+                kp = np.stack([kx, ky, np.full(num_keypoints, 2.0)], 1)
+                ann["keypoints"] = kp.reshape(-1).tolist()
+                ann["num_keypoints"] = num_keypoints
+            annotations.append(ann)
             ann_id += 1
     categories = [{"id": c, "name": f"class_{c}"}
                   for c in range(1, num_classes + 1)]

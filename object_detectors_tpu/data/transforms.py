@@ -93,6 +93,10 @@ def rcnn_resize(image: np.ndarray, boxes_xyxy: np.ndarray,
     scale factor)."""
     h, w = image.shape[:2]
     scale = min_max_resize_factor(h, w, min_size, max_size)
+    if pad_to is not None:
+        # the static canvas is a hard bound (augmentations like
+        # RandomZoomOut can blow up one dimension past max_size/ar)
+        scale = min(scale, pad_to[0] / h, pad_to[1] / w)
     nh, nw = int(round(h * scale)), int(round(w * scale))
     if cv2 is not None:
         img = cv2.resize(image, (nw, nh), interpolation=cv2.INTER_LINEAR)
@@ -122,6 +126,23 @@ def hflip(image: np.ndarray, boxes_xyxy: np.ndarray):
     else:
         b = boxes_xyxy
     return np.ascontiguousarray(img), b
+
+
+# COCO person-keypoint L/R channel swap under horizontal flip
+# (detection/transforms.py:10-17 _flip_coco_person_keypoints)
+COCO_PERSON_KEYPOINT_FLIP_INDS = (
+    0, 2, 1, 4, 3, 6, 5, 8, 7, 10, 9, 12, 11, 14, 13, 16, 15)
+
+
+def hflip_keypoints(keypoints: np.ndarray, width: int,
+                    flip_inds=COCO_PERSON_KEYPOINT_FLIP_INDS):
+    """[N, K, 3] (x, y, vis) keypoints under a horizontal flip: swap the
+    left/right channels, mirror x, zero invisible rows (the COCO
+    vis==0 -> x=y=0 convention)."""
+    kp = keypoints[:, list(flip_inds)].copy()
+    kp[..., 0] = width - kp[..., 0]
+    kp[kp[..., 2] == 0] = 0
+    return kp
 
 
 # --- YOLO 'Augment' pipeline (transformations.py:96-194) rebuilt --------

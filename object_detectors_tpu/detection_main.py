@@ -33,6 +33,7 @@ from object_detectors_tpu.data import transforms as T
 from object_detectors_tpu.eval import evaluator as eval_lib
 from object_detectors_tpu.models import anchors as anchor_lib
 from object_detectors_tpu.models import faster_rcnn as FR
+from object_detectors_tpu.models import keypoint_rcnn as KR
 from object_detectors_tpu.models import mask_rcnn as MR
 from object_detectors_tpu.models import retinanet as RN
 from object_detectors_tpu.models import roi_heads as RH
@@ -49,25 +50,48 @@ log = logging.getLogger("detection")
 def rcnn_batches(dataset, batch_size, canvas: int, max_boxes=100,
                  shuffle=False, seed=0, min_size=800, max_size=1333,
                  process_index=0, process_count=1, hflip_rng=None,
-                 with_masks=False):
+                 with_masks=False, with_keypoints=False,
+                 augmentation="hflip", ar_group_factor=-1):
     """Padded R-CNN batches: normalized images on a fixed square canvas,
     GT as absolute xyxy + 1-based labels (background = 0).
 
     with_masks: rasterize 'segmentation' annotations to canvas-resolution
     [B, M, canvas, canvas] float masks (Mask R-CNN training; memory
-    scales with canvas^2 * max_boxes — use modest canvases)."""
+    scales with canvas^2 * max_boxes — use modest canvases).
+    augmentation: preset policy applied when hflip_rng is given
+    (presets.py:5-38): 'hflip', 'ssd' (photometric + zoom-out + IoU crop
+    + hflip), 'ssdlite' (IoU crop + hflip). The crop/zoom presets skip
+    mask batches (the reference never pairs them either).
+    ar_group_factor >= 0 enables aspect-ratio grouped batching
+    (train.py:83-85 / group_by_aspect_ratio.py)."""
     order = data_coco.shard_indices(len(dataset), process_index,
                                     process_count, shuffle, seed)
+    if ar_group_factor is not None and ar_group_factor >= 0:
+        from object_detectors_tpu.data import grouping
 
-    def produce(i0):
-        imgs, bxs, lbs, vds, ids, scales, msks = \
-            [], [], [], [], [], [], []
-        for idx in order[i0:i0 + batch_size]:
+        ars = grouping.dataset_aspect_ratios(dataset)[order]
+        gids = grouping.group_ids(
+            ars, grouping.aspect_ratio_bins(ar_group_factor))
+        batch_lists = [
+            [int(order[i]) for i in bl]
+            for bl in grouping.grouped_batch_indices(
+                gids, batch_size, shuffle=False)]
+    else:
+        batch_lists = [order[i0:i0 + batch_size].tolist()
+                       for i0 in range(0, len(order), batch_size)]
+
+    def produce(idx_list):
+        imgs, bxs, lbs, vds, ids, scales, msks, kplist = \
+            [], [], [], [], [], [], [], []
+        for idx in idx_list:
             image, tgt = dataset[int(idx)]
             boxes = tgt["boxes_xywh"].copy()
             if boxes.size:
                 boxes[:, 2:] += boxes[:, :2]  # -> xyxy
             labels = tgt["labels"] + 1  # 1-based, 0 = background
+            kps = tgt.get("keypoints") if with_keypoints else None
+            if with_keypoints and kps is None:
+                kps = np.zeros((len(boxes), 17, 3), np.float32)
             masks = None
             if with_masks:
                 from object_detectors_tpu.data import masks as mask_lib
@@ -82,16 +106,45 @@ def rcnn_batches(dataset, batch_size, canvas: int, max_boxes=100,
                     for i_b, bb in enumerate(boxes):
                         x1, y1, x2, y2 = [int(round(v)) for v in bb]
                         masks[i_b, max(y1, 0):y2, max(x1, 0):x2] = 1.0
+            if (hflip_rng is not None and masks is None and kps is None
+                    and augmentation in ("ssd", "ssdlite")):
+                if augmentation == "ssd":
+                    image = T.photometric_distort(hflip_rng, image)
+                    if hflip_rng.rand() < 0.5:
+                        image, boxes = T.random_zoom_out(
+                            hflip_rng, image, boxes)
+                image, boxes, labels = T.random_iou_crop(
+                    hflip_rng, image, boxes, labels)
             flip = hflip_rng is not None and hflip_rng.rand() < 0.5
             if flip:
+                w0_flip = image.shape[1]
                 image, boxes = T.hflip(image, boxes)
                 if masks is not None:
                     masks = masks[:, :, ::-1].copy()
+                if kps is not None and len(kps):
+                    kps = T.hflip_keypoints(
+                        np.asarray(kps, np.float32), w0_flip)
+            # GeneralizedRCNNTransform trains with a random min-size
+            # choice when a tuple is configured (transform.py:150-173);
+            # eval uses the last entry
+            ms = min_size
+            if isinstance(min_size, (tuple, list)):
+                ms = (min_size[hflip_rng.randint(len(min_size))]
+                      if hflip_rng is not None else min_size[-1])
             padded, sboxes, true_size, scale = T.rcnn_resize(
-                image, boxes, min_size=min_size, max_size=max_size,
+                image, boxes, min_size=ms, max_size=max_size,
                 pad_to=(canvas, canvas))
             img = T.normalize_image(padded)
             b, l, v = T.pad_targets(sboxes, labels, max_boxes)
+            if kps is not None:
+                kp = np.asarray(kps, np.float32).copy()
+                kpad = np.zeros((max_boxes, kp.shape[1] if kp.size else 17,
+                                 3), np.float32)
+                if kp.size:
+                    kp[..., :2] *= scale  # follow the image resize
+                    n_k = min(len(kp), max_boxes)
+                    kpad[:n_k] = kp[:n_k]
+                kplist.append(kpad)
             if masks is not None:
                 import cv2
 
@@ -117,6 +170,8 @@ def rcnn_batches(dataset, batch_size, canvas: int, max_boxes=100,
             scales.append(scales[-1])
             if msks:
                 msks.append(np.zeros_like(msks[-1]))
+            if kplist:
+                kplist.append(np.zeros_like(kplist[-1]))
         out = {
             "images": np.stack(imgs).astype(np.float32),
             "gt_boxes": np.stack(bxs),
@@ -127,10 +182,11 @@ def rcnn_batches(dataset, batch_size, canvas: int, max_boxes=100,
         }
         if msks:
             out["gt_masks"] = np.stack(msks)
+        if kplist:
+            out["gt_keypoints"] = np.stack(kplist)
         return out
 
-    yield from data_coco._prefetched(
-        produce, range(0, len(order), batch_size), 2)
+    yield from data_coco._prefetched(produce, batch_lists, 2)
 
 
 # ------------------------------------------------------------------ #
@@ -167,6 +223,12 @@ class ModelAdapter:
             self.model = MR.MaskRCNN(MR.MaskRCNNConfig(
                 num_classes=num_classes, rpn=rpn_cfg, roi=roi_cfg,
                 resnet_layers=tuple(resnet_layers)))
+        elif name == "keypointrcnn_resnet50_fpn":
+            self.model = KR.KeypointRCNN(KR.KeypointRCNNConfig(
+                num_classes=num_classes, rpn=rpn_cfg, roi=roi_cfg,
+                resnet_layers=tuple(resnet_layers),
+                kp_head_layers=2 if small else 8,
+                kp_head_features=64 if small else 512))
         elif name == "retinanet_resnet50_fpn":
             self.cfg = RN.RetinaNetConfig(
                 num_classes=num_classes,
@@ -185,7 +247,8 @@ class ModelAdapter:
     def init_variables(self, rng):
         x = jnp.zeros((1, self.image_size, self.image_size, 3))
         if self.name in ("fasterrcnn_resnet50_fpn",
-                         "maskrcnn_resnet50_fpn"):
+                         "maskrcnn_resnet50_fpn",
+                         "keypointrcnn_resnet50_fpn"):
             gt = jnp.asarray([[[1.0, 1.0, 10.0, 10.0]]])
             gl = jnp.ones((1, 1), jnp.int32)
             gv = jnp.ones((1, 1), bool)
@@ -193,6 +256,9 @@ class ModelAdapter:
             if self.name == "maskrcnn_resnet50_fpn":
                 gm = jnp.zeros((1, 1, self.image_size, self.image_size))
                 args = (x, gt, gl, gv, gm)
+            elif self.name == "keypointrcnn_resnet50_fpn":
+                gkp = jnp.zeros((1, 1, 17, 3))
+                args = (x, gt, gl, gv, gkp)
             return self.model.init(
                 {"params": rng, "sampler": jax.random.fold_in(rng, 1)},
                 *args, train=True)
@@ -215,15 +281,21 @@ class ModelAdapter:
     def losses(self, variables, batch, rng, train=True):
         imgs = batch["images"]
         if self.name in ("fasterrcnn_resnet50_fpn",
-                         "maskrcnn_resnet50_fpn"):
+                         "maskrcnn_resnet50_fpn",
+                         "keypointrcnn_resnet50_fpn"):
             args = (imgs, batch["gt_boxes"], batch["gt_labels"],
                     batch["gt_valid"])
+            b, m = batch["gt_labels"].shape
             if self.name == "maskrcnn_resnet50_fpn":
-                b, m = batch["gt_labels"].shape
                 gm = batch.get("gt_masks")
                 if gm is None:
                     gm = jnp.zeros((b, m) + imgs.shape[1:3])
                 args = args + (gm,)
+            elif self.name == "keypointrcnn_resnet50_fpn":
+                gkp = batch.get("gt_keypoints")
+                if gkp is None:
+                    gkp = jnp.zeros((b, m, 17, 3))
+                args = args + (gkp,)
             return self.model.apply(variables, *args, train=True,
                                     tfidf=self.tfidf_vec,
                                     class_weights=self.class_weights,
@@ -262,10 +334,11 @@ class ModelAdapter:
         if self.name in ("fasterrcnn_resnet50_fpn",):
             return self.model.apply(variables, images, train=False,
                                     tfidf=self.tfidf_vec)
-        if self.name == "maskrcnn_resnet50_fpn":
+        if self.name in ("maskrcnn_resnet50_fpn",
+                         "keypointrcnn_resnet50_fpn"):
             out = self.model.apply(variables, images, train=False,
                                    tfidf=self.tfidf_vec)
-            return out[:4]  # boxes, scores, labels, valid (masks extra)
+            return out[:4]  # boxes, scores, labels, valid (+extras)
         if self.name == "retinanet_resnet50_fpn":
             cls, reg, level_sizes = self.model.apply(
                 variables, images, train=False)
@@ -281,6 +354,20 @@ class ModelAdapter:
         return SSD.ssd_postprocess(
             cls.astype(jnp.float32), reg.astype(jnp.float32), anchors,
             (s, s), self.cfg, tfidf_post=self.tfidf)
+
+    def detect_with_masks(self, variables, images):
+        """Mask R-CNN only: (boxes, scores, labels, valid, masks) with
+        masks [B, D, 28, 28] per-detection probability maps."""
+        assert self.name == "maskrcnn_resnet50_fpn"
+        return self.model.apply(variables, images, train=False,
+                                tfidf=self.tfidf_vec)
+
+    def detect_with_keypoints(self, variables, images):
+        """Keypoint R-CNN only: (boxes, scores, labels, valid,
+        keypoints [B, D, K, 3], kp_scores [B, D, K])."""
+        assert self.name == "keypointrcnn_resnet50_fpn"
+        return self.model.apply(variables, images, train=False,
+                                tfidf=self.tfidf_vec)
 
 
 def build_tfidf_vector(args, gt_train, num_classes):
@@ -334,11 +421,12 @@ def build_csl_weights(args, gt_train, num_classes):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset", default="synthetic",
-                    choices=["coco", "lvis", "synthetic"])
+                    choices=["coco", "coco_kp", "lvis", "synthetic"])
     ap.add_argument("--data-path", default="datasets/coco")
     ap.add_argument("--model", default="retinanet_resnet50_fpn",
                     choices=["fasterrcnn_resnet50_fpn",
                              "maskrcnn_resnet50_fpn",
+                             "keypointrcnn_resnet50_fpn",
                              "retinanet_resnet50_fpn", "ssd300_vgg16"])
     ap.add_argument("--epochs", type=int, default=26)
     ap.add_argument("--batch-size", type=int, default=2)
@@ -361,6 +449,12 @@ def main(argv=None):
     ap.add_argument("--classif", default="ce",
                     choices=["ce", "bce", "focal_loss", "gombit",
                              "gombit_fl"])
+    ap.add_argument("--data-augmentation", default="hflip",
+                    choices=["hflip", "ssd", "ssdlite"],
+                    help="train augmentation preset (presets.py:5-38)")
+    ap.add_argument("--aspect-ratio-group-factor", type=int, default=3,
+                    help="AR-grouped batching bins (train.py:83-85); "
+                         "-1 disables")
     ap.add_argument("--resume", default=None)
     ap.add_argument("--test-only", action="store_true")
     ap.add_argument("--output-dir", default="output/detection")
@@ -378,9 +472,15 @@ def main(argv=None):
         from object_detectors_tpu.data import synthetic
 
         rng = np.random.RandomState(0)
-        gt_train = synthetic.make_coco_dicts(rng, 16, 96, 4)
+        with_segm = args.model == "maskrcnn_resnet50_fpn"
+        with_kp = args.model == "keypointrcnn_resnet50_fpn"
+        n_cls = 1 if with_kp else 4  # coco_kp is person-only
+        gt_train = synthetic.make_coco_dicts(
+            rng, 16, 96, n_cls, with_segmentation=with_segm,
+            with_keypoints=with_kp)
         gt_val = synthetic.make_coco_dicts(
-            np.random.RandomState(1), 8, 96, 4)
+            np.random.RandomState(1), 8, 96, n_cls,
+            with_segmentation=with_segm, with_keypoints=with_kp)
         imgs = {}
         for g in (gt_train, gt_val):
             for im in g["images"]:
@@ -392,23 +492,29 @@ def main(argv=None):
         val_ds = data_coco.CocoDetectionDataset(
             gt_val, label_mode="lvis0",
             image_loader=lambda i, g=gt_val: imgs[(id(g), i["id"])])
-        num_classes = 5  # 4 + background
+        num_classes = n_cls + 1  # + background
         min_size, max_size = args.image_size, args.image_size * 2
     else:
         root = args.data_path
-        split = ("instances_train2017.json", "instances_val2017.json") \
-            if args.dataset == "coco" else (
-                "lvis_v1_train.json", "lvis_v1_val.json")
+        # dataset registry (train.py:47-51: coco 91 / coco_kp 2 / lvis)
+        split = {
+            "coco": ("instances_train2017.json",
+                     "instances_val2017.json"),
+            "coco_kp": ("person_keypoints_train2017.json",
+                        "person_keypoints_val2017.json"),
+            "lvis": ("lvis_v1_train.json", "lvis_v1_val.json"),
+        }[args.dataset]
+        # lvis0 maps category ids to 0-based; rcnn_batches' +1 restores
+        # the raw 1-based ids torchvision models train on (train.py:47-51)
         train_ds = data_coco.CocoDetectionDataset(
             os.path.join(root, "annotations", split[0]),
-            os.path.join(root, "train2017"), label_mode="raw")
+            os.path.join(root, "train2017"), label_mode="lvis0")
         val_ds = data_coco.CocoDetectionDataset(
             os.path.join(root, "annotations", split[1]),
-            os.path.join(root, "val2017"), label_mode="raw")
-        num_classes = 91 if args.dataset == "coco" else 1204
+            os.path.join(root, "val2017"), label_mode="lvis0")
+        num_classes = {"coco": 91, "coco_kp": 2,
+                       "lvis": 1204}[args.dataset]
         min_size, max_size = 800, 1333
-        train_ds.label_mode = "raw"
-        # raw category ids ARE the 1-based labels for torchvision models
     gt_train, gt_val = train_ds.gt, val_ds.gt
 
     tfidf_vec = build_tfidf_vector(args, gt_train, num_classes)
@@ -460,30 +566,53 @@ def main(argv=None):
         return ({"params": new_params, "opt_state": new_opt,
                  "step": ts["step"] + 1}, total, losses)
 
+    eval_masks = args.model == "maskrcnn_resnet50_fpn"
+    eval_kps = args.model == "keypointrcnn_resnet50_fpn"
+
     @jax.jit
     def eval_step(params, images):
+        if eval_masks:
+            return adapter.detect_with_masks({**rest, "params": params},
+                                             images)
+        if eval_kps:
+            return adapter.detect_with_keypoints(
+                {**rest, "params": params}, images)
         return adapter.detect({**rest, "params": params}, images)
 
     def evaluate(params):
+        """engine.evaluate parity: iou types bbox (+segm for Mask R-CNN,
+        +keypoints OKS for Keypoint R-CNN — engine._get_iou_types);
+        returns (bbox mAP, evaluator, extra stats-or-None)."""
         ev = eval_lib.DetectionEvaluator(gt_val, label_map=lambda c: c)
         for batch in rcnn_batches(
                 val_ds, args.batch_size, args.image_size, args.max_boxes,
                 min_size=min_size, max_size=max_size):
-            b, sc, lab, v = eval_step(params,
-                                      jnp.asarray(batch["images"]))
+            out = eval_step(params, jnp.asarray(batch["images"]))
+            b, sc, lab, v = out[:4]
+            masks = np.asarray(out[4]) if eval_masks else None
+            kps = np.asarray(out[4]) if eval_kps else None
             keep = batch["image_ids"] >= 0
             ev.update(batch["image_ids"][keep], np.asarray(b)[keep],
                       np.asarray(sc)[keep], np.asarray(lab)[keep],
-                      np.asarray(v)[keep], batch["scale_factors"][keep])
+                      np.asarray(v)[keep], batch["scale_factors"][keep],
+                      masks=masks[keep] if masks is not None else None,
+                      keypoints=kps[keep] if kps is not None else None)
         ev.synchronize_between_processes()
         stats = ev.summarize()
-        return float(stats[0]), ev
+        extra = None
+        if eval_masks:
+            extra = ("segm", ev.summarize("segm"))
+        elif eval_kps:
+            extra = ("keypoints", ev.summarize("keypoints"))
+        return float(stats[0]), ev, extra
 
     if args.test_only:
-        mAP, ev = evaluate(train_state["params"])
+        mAP, ev, extra = evaluate(train_state["params"])
         if args.dump_json:
             ev.save_detections(args.dump_json)
         print(f"mAP: {mAP:.4f}")
+        if extra is not None:
+            print(f"{extra[0]} mAP: {float(extra[1][0]):.4f}")
         return mAP
 
     hflip_rng = np.random.RandomState(args.seed + 7)
@@ -495,7 +624,10 @@ def main(argv=None):
                 train_ds, args.batch_size, args.image_size,
                 args.max_boxes, shuffle=True, seed=args.seed + epoch,
                 min_size=min_size, max_size=max_size,
-                hflip_rng=hflip_rng, with_masks=with_masks)):
+                hflip_rng=hflip_rng, with_masks=with_masks,
+                with_keypoints=eval_kps,
+                augmentation=args.data_augmentation,
+                ar_group_factor=args.aspect_ratio_group_factor)):
             jb = mesh_lib.put_sharded(
                 {k: jnp.asarray(v) for k, v in batch.items()
                  if k not in ("image_ids", "scale_factors")}, mesh)
@@ -508,9 +640,12 @@ def main(argv=None):
                 return None
             logger.update(loss=total,
                           **{k: float(v) for k, v in losses.items()})
-        mAP, _ = evaluate(train_state["params"])
+        mAP, _, extra = evaluate(train_state["params"])
         _save(ckpt, f"model_{epoch}", train_state, epoch, mAP)
         _save(ckpt, "last", train_state, epoch, mAP)
+        if extra is not None:
+            log.info("epoch %d: %s mAP=%.4f", epoch, extra[0],
+                     float(extra[1][0]))
         log.info("epoch %d: %s mAP=%.4f (%.1fs)", epoch, logger, mAP,
                  time.time() - t0)
     return train_state

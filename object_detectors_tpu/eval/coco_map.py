@@ -34,6 +34,53 @@ AREA_RNG = {
 }
 MAX_DETS = (1, 10, 100)
 
+# keypoints protocol (pycocotools COCOeval.setKpParams / coco_eval.py:
+# 142-166): areas all/medium/large only, maxDets 20, OKS sigmas
+KP_AREA_RNG = {
+    "all": (0.0, 1e10),
+    "medium": (32.0**2, 96.0**2),
+    "large": (96.0**2, 1e10),
+}
+KP_MAX_DETS = (20,)
+KP_SIGMAS = np.array([
+    .26, .25, .25, .35, .35, .79, .79, .72, .72, .62, .62,
+    1.07, 1.07, .87, .87, .89, .89]) / 10.0
+
+
+def compute_oks(dt_kps: np.ndarray, gts: list,
+                sigmas: np.ndarray | None = None) -> np.ndarray:
+    """OKS matrix [D, G] (pycocotools computeOks): per-gt gaussian
+    distance over labeled keypoints, normalized by gt area; gts with no
+    labeled keypoints fall back to a box-proximity window."""
+    d, g = len(dt_kps), len(gts)
+    if d == 0 or g == 0:
+        return np.zeros((d, g))
+    k = dt_kps.shape[1]
+    if sigmas is None:
+        sigmas = KP_SIGMAS if k == 17 else np.full(k, 0.05)
+    var = (sigmas * 2.0) ** 2
+    out = np.zeros((d, g))
+    for j, gt in enumerate(gts):
+        gkp = np.asarray(gt["keypoints"], np.float64).reshape(-1, 3)
+        xg, yg, vg = gkp[:, 0], gkp[:, 1], gkp[:, 2]
+        k1 = int((vg > 0).sum())
+        bb = gt["bbox"]
+        x0, x1 = bb[0] - bb[2], bb[0] + 2 * bb[2]
+        y0, y1 = bb[1] - bb[3], bb[1] + 2 * bb[3]
+        area = gt.get("area", bb[2] * bb[3])
+        for i in range(d):
+            xd, yd = dt_kps[i][:, 0], dt_kps[i][:, 1]
+            if k1 > 0:
+                dx, dy = xd - xg, yd - yg
+            else:  # gt unlabeled: distance to the inflated box
+                dx = np.maximum(x0 - xd, 0) + np.maximum(xd - x1, 0)
+                dy = np.maximum(y0 - yd, 0) + np.maximum(yd - y1, 0)
+            e = (dx**2 + dy**2) / var / (area + np.spacing(1)) / 2
+            if k1 > 0:
+                e = e[vg > 0]
+            out[i, j] = np.sum(np.exp(-e)) / e.shape[0]
+    return out
+
 
 def box_iou_xywh(dt: np.ndarray, gt: np.ndarray,
                  iscrowd: np.ndarray) -> np.ndarray:
@@ -67,8 +114,11 @@ def _evaluate_img(dts, gts, area_rng, max_det, iou_fn=None):
     dt_scores [D]) with T=len(IOU_THRS).
     """
     t = len(IOU_THRS)
+    # segm mode (signalled by an iou_fn override) bins detections by MASK
+    # area; bbox mode by bbox w*h — results may carry both fields
+    segm_mode = iou_fn is not None
     gt_ignore = np.array(
-        [bool(g.get("iscrowd", 0)) or not
+        [bool(g.get("iscrowd", 0)) or bool(g.get("ignore", 0)) or not
          (area_rng[0] <= g["area"] <= area_rng[1]) for g in gts],
         dtype=bool)
     # sort gts: non-ignored first (pycocotools gtind ordering)
@@ -100,8 +150,7 @@ def _evaluate_img(dts, gts, area_rng, max_det, iou_fn=None):
         if native.available():
             dt_m, dt_ig = native.evaluate_img_native(
                 iou, gt_ignore, iscrowd, IOU_THRS)
-            d_areas = np.array(
-                [dd["bbox"][2] * dd["bbox"][3] for dd in dts])
+            d_areas = np.array([_det_area(dd, segm_mode) for dd in dts])
             out_rng = (d_areas < area_rng[0]) | (d_areas > area_rng[1])
             dt_ig = dt_ig | ((dt_m == 0) & out_rng[None, :])
             return dt_m, dt_ig, gt_ignore, dt_scores
@@ -128,11 +177,28 @@ def _evaluate_img(dts, gts, area_rng, max_det, iou_fn=None):
                 gt_m[ti, best_g] = di + 1
 
     # unmatched dets outside the area range are ignored
-    d_areas = np.array([dd["bbox"][2] * dd["bbox"][3] for dd in dts]) \
+    d_areas = np.array([_det_area(dd, segm_mode) for dd in dts]) \
         if d else np.zeros(0)
     out_of_rng = (d_areas < area_rng[0]) | (d_areas > area_rng[1])
     dt_ig = dt_ig | ((dt_m == 0) & out_of_rng[None, :])
     return dt_m, dt_ig, gt_ignore, dt_scores
+
+
+def _kp_iou_fn(dts, gts):
+    """OKS override for _evaluate_img (keypoints mode)."""
+    dt_kps = np.stack([
+        np.asarray(d["keypoints"], np.float64).reshape(-1, 3)
+        for d in dts]) if dts else np.zeros((0, 17, 3))
+    return compute_oks(dt_kps, gts)
+
+
+def _det_area(dd, segm_mode: bool) -> float:
+    """Detection area for area-range binning: segm eval uses the mask
+    area (pycocotools loadRes sets area=maskUtils.area for segm
+    results), bbox eval uses bbox w*h."""
+    if segm_mode and dd.get("area") is not None:
+        return float(dd["area"])
+    return dd["bbox"][2] * dd["bbox"][3]
 
 
 class COCOEvalNP:
@@ -145,8 +211,13 @@ class COCOEvalNP:
     """
 
     def __init__(self, gt: dict, dt: list, iou_type: str = "bbox"):
-        assert iou_type in ("bbox", "segm")
+        assert iou_type in ("bbox", "segm", "keypoints")
         self.iou_type = iou_type
+        # keypoints protocol: areas all/medium/large, maxDets 20
+        self.area_rng = KP_AREA_RNG if iou_type == "keypoints" \
+            else AREA_RNG
+        self.max_dets = KP_MAX_DETS if iou_type == "keypoints" \
+            else MAX_DETS
         self._img_hw = {im["id"]: (im["height"], im["width"])
                         for im in gt["images"]}
         self.cat_ids = sorted(c["id"] for c in gt["categories"])
@@ -155,6 +226,14 @@ class COCOEvalNP:
         for ann in gt["annotations"]:
             a = dict(ann)
             a.setdefault("area", a["bbox"][2] * a["bbox"][3])
+            if iou_type == "keypoints":
+                # pycocotools: gts without labeled keypoints are ignored
+                nk = a.get("num_keypoints")
+                if nk is None:
+                    kp = np.asarray(a.get("keypoints", []),
+                                    np.float64).reshape(-1, 3)
+                    nk = int((kp[:, 2] > 0).sum()) if kp.size else 0
+                a["ignore"] = bool(a.get("ignore", 0)) or nk == 0
             self._gts.setdefault(
                 (ann["image_id"], ann["category_id"]), []).append(a)
         self._dts = {}
@@ -165,12 +244,13 @@ class COCOEvalNP:
 
     def evaluate_and_accumulate(self):
         t, r = len(IOU_THRS), len(REC_THRS)
-        k, a, m = len(self.cat_ids), len(AREA_RNG), len(MAX_DETS)
+        k = len(self.cat_ids)
+        a, m = len(self.area_rng), len(self.max_dets)
         precision = -np.ones((t, r, k, a, m))
         recall = -np.ones((t, k, a, m))
 
         for ki, cat in enumerate(self.cat_ids):
-            for ai, (aname, arng) in enumerate(AREA_RNG.items()):
+            for ai, (aname, arng) in enumerate(self.area_rng.items()):
                 # evaluate every image at the largest maxDet, then slice
                 per_img = []
                 for img in self.img_ids:
@@ -178,13 +258,17 @@ class COCOEvalNP:
                     dts = self._dts.get((img, cat), [])
                     if not gts and not dts:
                         continue
-                    iou_fn = (self._segm_iou_fn(img)
-                              if self.iou_type == "segm" else None)
+                    if self.iou_type == "segm":
+                        iou_fn = self._segm_iou_fn(img)
+                    elif self.iou_type == "keypoints":
+                        iou_fn = _kp_iou_fn
+                    else:
+                        iou_fn = None
                     per_img.append(_evaluate_img(
-                        dts, gts, arng, MAX_DETS[-1], iou_fn))
+                        dts, gts, arng, self.max_dets[-1], iou_fn))
                 if not per_img:
                     continue
-                for mi, max_det in enumerate(MAX_DETS):
+                for mi, max_det in enumerate(self.max_dets):
                     dtm = np.concatenate(
                         [p[0][:, :max_det] for p in per_img], axis=1)
                     dtig = np.concatenate(
@@ -222,9 +306,11 @@ class COCOEvalNP:
         self.eval = {"precision": precision, "recall": recall}
         return self
 
-    def _summarize(self, ap=True, iou_thr=None, area="all", max_det=100):
-        ai = list(AREA_RNG).index(area)
-        mi = MAX_DETS.index(max_det)
+    def _summarize(self, ap=True, iou_thr=None, area="all",
+                   max_det=None):
+        ai = list(self.area_rng).index(area)
+        mi = self.max_dets.index(max_det if max_det is not None
+                                 else self.max_dets[-1])
         if ap:
             s = self.eval["precision"]
             if iou_thr is not None:
@@ -239,6 +325,9 @@ class COCOEvalNP:
             s = s[:, :, ai, mi]
         valid = s[s > -1]
         return float(np.mean(valid)) if valid.size else -1.0
+
+    # summarize() slices precision[..., 0, last] for "all" area, which in
+    # keypoints mode indexes KP_AREA_RNG/KP_MAX_DETS consistently.
 
     def _segm_iou_fn(self, img_id):
         """RLE-based mask IoU for segm evaluation (native core)."""
@@ -275,9 +364,19 @@ class COCOEvalNP:
         return iou_fn
 
     def summarize(self):
-        """The 12 COCO stats; stats[0] is the model-selection metric
-        (eval_results.py:57)."""
+        """The 12 COCO stats (10 for keypoints); stats[0] is the
+        model-selection metric (eval_results.py:57)."""
         s = self._summarize
+        if self.iou_type == "keypoints":
+            # pycocotools kpts protocol: AP/AP50/AP75/APm/APl then the
+            # AR mirror, all at maxDets=20
+            stats = [
+                s(True), s(True, 0.5), s(True, 0.75),
+                s(True, area="medium"), s(True, area="large"),
+                s(False), s(False, 0.5), s(False, 0.75),
+                s(False, area="medium"), s(False, area="large"),
+            ]
+            return np.array(stats)
         stats = [
             s(True), s(True, 0.5), s(True, 0.75),
             s(True, area="small"), s(True, area="medium"),
@@ -290,7 +389,7 @@ class COCOEvalNP:
 
     def per_category_ap(self):
         """AP@[.5:.95] per category (the get_map.py notebook metric)."""
-        p = self.eval["precision"][:, :, :, 0, MAX_DETS.index(100)]
+        p = self.eval["precision"][:, :, :, 0, len(self.max_dets) - 1]
         out = {}
         for ki, cat in enumerate(self.cat_ids):
             v = p[:, :, ki]

@@ -176,10 +176,17 @@ def train_one_epoch(state, cfg, loss_cfg, dataset, mesh, epoch,
     stat_sum = np.zeros(5)
     n_iters = 0
 
+    # config-gated train augmentation (init_dataset.py:31: Augment is
+    # prepended when dataset.augment > 0)
+    augment_rng = None
+    if int(cfg.dataset.get("augment", 0) or 0) > 0:
+        augment_rng = np.random.RandomState(
+            int(cfg.seed) * 977 + epoch + jax.process_index())
     batches = data_coco.yolo_batches(
         dataset, int(cfg.dataset.tr_batch_size), loss_cfg.img_size,
         int(cfg.dataset.get("max_boxes", 100)), shuffle=True,
         seed=int(cfg.seed) + epoch,
+        augment_rng=augment_rng,
         process_index=jax.process_index(),
         process_count=jax.process_count())
 

@@ -1,5 +1,6 @@
-"""Keypoint R-CNN branch — parity with the keypoint pieces of
-`torchvision_models/tvision/roi_heads.py:186-379`.
+"""Keypoint R-CNN — the assembled model plus the branch pieces, parity
+with `torchvision_models/tvision/roi_heads.py:186-379` and torchvision's
+KeypointRCNN assembly (FasterRCNN graph + keypoint branch, num_classes=2).
 
 * KeypointRCNNHeads: 8 x (3x3 conv 512 + ReLU) on 14x14 RoIAligned
   features; KeypointRCNNPredictor: 4x4/s2 deconv + 2x bilinear upscale
@@ -13,16 +14,28 @@
   scale to the box (the reference first bilinearly resizes to the exact
   box size; equivalent up to sub-cell quantization, which its own
   offset correction also only approximates).
+* KeypointRCNN: one jit region like our FasterRCNN/MaskRCNN — RPN,
+  sampling, box branch and keypoint branch with static shapes.
 """
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import Any
 
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+
+from object_detectors_tpu.models import anchors as anchor_lib
+from object_detectors_tpu.models import roi_heads as RH
+from object_detectors_tpu.models import rpn as RPN
+from object_detectors_tpu.models.resnet import BackboneWithFPN, ResNet
+from object_detectors_tpu.ops import boxes as box_ops
+from object_detectors_tpu.ops.roi_align import (
+    multiscale_roi_align_flat as multiscale_roi_align,
+)
 
 
 class KeypointRCNNHeads(nn.Module):
@@ -119,3 +132,124 @@ def heatmaps_to_keypoints(kp_logits, boxes):
     y = boxes[..., 1][..., None] + yy / hm * h
     kps = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
     return kps, scores
+
+
+@dataclasses.dataclass(frozen=True)
+class KeypointRCNNConfig:
+    num_classes: int = 2           # person vs background (coco_kp)
+    num_keypoints: int = 17
+    rpn: RPN.RPNConfig = RPN.RPNConfig()
+    roi: RH.RoIHeadsConfig = RH.RoIHeadsConfig(num_classes=2)
+    resnet_layers: tuple = (3, 4, 6, 3)
+    keypoint_pool_size: tuple = (14, 14)
+    kp_head_layers: int = 8
+    kp_head_features: int = 512
+
+
+class KeypointRCNN(nn.Module):
+    """Faster R-CNN graph + keypoint branch in one jit region
+    (torchvision keypoint_rcnn.py assembly; branch semantics
+    roi_heads.py:186-379)."""
+
+    cfg: KeypointRCNNConfig = KeypointRCNNConfig()
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.backbone = BackboneWithFPN(
+            ResNet(self.cfg.resnet_layers, "bottleneck", "frozen",
+                   self.dtype),
+            out_channels=256, extra_blocks="pool",
+            returned_layers=(1, 2, 3, 4), name="backbone")
+        self.rpn_head = RPN.RPNHead(num_anchors=3, dtype=self.dtype,
+                                    name="rpn_head")
+        self.box_head = RH.TwoMLPHead(1024, dtype=self.dtype,
+                                      name="box_head")
+        self.box_predictor = RH.FastRCNNPredictor(
+            self.cfg.num_classes, dtype=self.dtype, name="box_predictor")
+        self.kp_head = KeypointRCNNHeads(
+            layers=self.cfg.kp_head_layers,
+            features=self.cfg.kp_head_features, dtype=self.dtype,
+            name="kp_head")
+        self.kp_predictor = KeypointRCNNPredictor(
+            self.cfg.num_keypoints, dtype=self.dtype, name="kp_predictor")
+
+    def _kp_branch(self, feats, boxes, img_h, img_w, b):
+        pooled = jax.vmap(
+            lambda fs, bx: multiscale_roi_align(
+                fs, bx, (img_h, img_w), self.cfg.keypoint_pool_size)
+        )(tuple(feats[:4]), boxes)
+        kl = self.kp_predictor(self.kp_head(
+            pooled.reshape((-1,) + pooled.shape[2:])))
+        hm = kl.shape[1]
+        return kl.reshape(b, -1, hm, hm,
+                          self.cfg.num_keypoints).astype(jnp.float32)
+
+    def __call__(self, images, gt_boxes=None, gt_labels=None,
+                 gt_valid=None, gt_keypoints=None, train: bool = False,
+                 tfidf=None, class_weights=None):
+        """gt_keypoints: [B, M, K, 3] absolute (x, y, vis) per GT box.
+
+        Train -> loss dict (+loss_keypoint); eval -> (boxes, scores,
+        labels, valid, keypoints [B, D, K, 3], kp_scores [B, D, K]).
+        """
+        cfg = self.cfg
+        b, img_h, img_w, _ = images.shape
+        feats = self.backbone(images, train)
+        objectness, pred_deltas, level_sizes = self.rpn_head(feats)
+        objectness = objectness.astype(jnp.float32)
+        pred_deltas = pred_deltas.astype(jnp.float32)
+
+        grid_sizes = tuple((f.shape[1], f.shape[2]) for f in feats)
+        sizes, ars = anchor_lib.rpn_anchor_config()
+        anchors = jnp.asarray(anchor_lib.grid_anchors(
+            (img_h, img_w), grid_sizes, sizes[:len(grid_sizes)],
+            ars[:len(grid_sizes)]))
+        proposals_all = jax.lax.stop_gradient(box_ops.decode_boxes(
+            pred_deltas, anchors[None], cfg.rpn.box_weights))
+        prop_boxes, prop_scores, prop_valid = RPN.filter_proposals(
+            proposals_all, objectness, level_sizes, (img_h, img_w),
+            cfg.rpn, training=train)
+
+        if train:
+            key = self.make_rng("sampler")
+            k_rpn, k_roi = jax.random.split(key)
+            rpn_losses = RPN.rpn_loss(
+                objectness, pred_deltas, anchors, gt_boxes, gt_valid,
+                k_rpn, cfg.rpn)
+            s_boxes, s_labels, reg_targets, s_pos, s_sampled, s_matched = (
+                RH.select_training_samples(
+                    prop_boxes, prop_valid, gt_boxes, gt_labels, gt_valid,
+                    k_roi, cfg.roi))
+            roi_boxes = s_boxes
+        else:
+            roi_boxes = prop_boxes
+
+        pooled = jax.vmap(
+            lambda fs, bx: multiscale_roi_align(
+                fs, bx, (img_h, img_w), cfg.roi.pool_size)
+        )(tuple(feats[:4]), roi_boxes)
+        x = self.box_head(pooled)
+        class_logits, box_regression = self.box_predictor(x)
+        class_logits = class_logits.astype(jnp.float32)
+        box_regression = box_regression.astype(jnp.float32)
+
+        if train:
+            scale = RH.training_tfidf_scale(gt_labels, gt_valid, cfg.roi,
+                                            tfidf)
+            det_losses = RH.fastrcnn_loss(
+                class_logits * scale, box_regression, s_labels,
+                reg_targets, s_sampled, cfg.roi,
+                class_weights=class_weights)
+            kp_logits = self._kp_branch(feats, roi_boxes, img_h, img_w, b)
+            loss_keypoint = keypointrcnn_loss(
+                kp_logits, roi_boxes, gt_keypoints, s_matched, s_pos)
+            return {**det_losses, **rpn_losses,
+                    "loss_keypoint": loss_keypoint}
+
+        boxes, scores, labels, valid = RH.postprocess_detections(
+            class_logits, box_regression, roi_boxes, prop_valid,
+            (img_h, img_w), cfg.roi,
+            tfidf_post=1.0 if tfidf is None else tfidf)
+        kp_logits = self._kp_branch(feats, boxes, img_h, img_w, b)
+        keypoints, kp_scores = heatmaps_to_keypoints(kp_logits, boxes)
+        return boxes, scores, labels, valid, keypoints, kp_scores

@@ -73,7 +73,12 @@ class MaskRCNNPredictor(nn.Module):
 
 def project_masks_on_boxes(gt_masks, boxes, matched_idxs, m):
     """[G, H, W] masks + [S, 4] boxes + [S] matched gt -> [S, m, m]
-    targets (roi_heads.py:136-150: roi_align on the matched mask)."""
+    targets (roi_heads.py:136-150: roi_align on the matched mask).
+
+    Documented approximation: uses a fixed sampling_ratio=2 where the
+    reference's roi_align default is adaptive (ceil(roi/bin)); mask
+    targets for very large boxes average 4 samples per bin instead of
+    more. The deviation is sub-pixel at 28x28 target resolution."""
     sel = gt_masks[matched_idxs]  # [S, H, W]
 
     def one(mask, box):

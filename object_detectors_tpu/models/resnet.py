@@ -173,9 +173,12 @@ class BackboneWithFPN(nn.Module):
 def trainable_mask(params, trainable_layers: int = 3):
     """optax mask pytree: True where gradients flow. torchvision freezes
     the first (5 - trainable_layers) of [layer4, layer3, layer2, layer1,
-    conv1] (backbone_utils.py:84-94)."""
+    conv1] and appends bn1 at trainable_layers==5
+    (backbone_utils.py:84-94)."""
     layers_to_train = ["layer4", "layer3", "layer2", "layer1",
-                       "conv1", "bn1"][:trainable_layers]
+                       "conv1"][:trainable_layers]
+    if trainable_layers == 5:
+        layers_to_train.append("bn1")
     import jax
 
     flat = jax.tree_util.tree_flatten_with_path(params)[0]

@@ -45,6 +45,10 @@ class SSDConfig:
     # per-minibatch tf-idf recompute (ssd.py:269-278), like RetinaNet's
     tfidf_mini_batch: bool = False
     tfidf_norm: int = 0
+    # NMS input cap (0 = auto: 4*detections_per_img + topk_candidates).
+    # Exact as long as >= detections_per_img greedy-NMS survivors fall in
+    # the top-scored prefix; raise for pathologically overlapping scenes.
+    nms_candidates_cap: int = 0
 
 
 def _conv(f, k, name, strides=1, padding="SAME", dilation=1, dtype=jnp.float32):
@@ -222,7 +226,8 @@ def _post_one(logits, reg, anchors, image_size, cfg, tfidf_post, k):
     # as long as >= detections_per_img survivors are inside it; without
     # it the (C-1)*topk candidate set (481k on LVIS) makes the O(N^2)
     # IoU matrix intractable.
-    cap = min(4 * cfg.detections_per_img + cfg.topk_candidates,
+    cap = min(cfg.nms_candidates_cap
+              or 4 * cfg.detections_per_img + cfg.topk_candidates,
               flat_scores.shape[0])
     gv, gi = jax.lax.top_k(jnp.where(valid, flat_scores, -jnp.inf), cap)
     ob, osc, olab, _, ovalid = N.batched_nms(

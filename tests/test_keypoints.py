@@ -75,3 +75,84 @@ def test_keypoint_head_shapes():
     vp = pred.init(jax.random.key(1), h)
     out = pred.apply(vp, h)
     assert out.shape == (4, 56, 56, 17)
+
+
+# --------- VERDICT r1 item 4: assembled model + OKS evaluation --------- #
+
+def test_compute_oks_perfect_and_shifted():
+    from object_detectors_tpu.eval import coco_map as CM
+
+    rng = np.random.RandomState(0)
+    kx = rng.uniform(10, 50, 17)
+    ky = rng.uniform(10, 50, 17)
+    gt = {"keypoints": np.stack(
+        [kx, ky, np.full(17, 2.0)], 1).reshape(-1).tolist(),
+        "bbox": [10, 10, 40, 40], "area": 1600.0}
+    dt_exact = np.stack([kx, ky, np.ones(17)], 1)
+    oks = CM.compute_oks(dt_exact[None], [gt])
+    assert oks[0, 0] == pytest.approx(1.0)
+    dt_shift = dt_exact.copy()
+    dt_shift[:, 0] += 15.0
+    oks_s = CM.compute_oks(dt_shift[None], [gt])
+    assert oks_s[0, 0] < 0.5
+
+
+def test_keypoints_eval_protocol():
+    """COCOEvalNP iou_type=keypoints: perfect predictions -> AP 1.0;
+    unlabeled GTs are ignored; 10-stat summary."""
+    from object_detectors_tpu.data import synthetic
+    from object_detectors_tpu.eval import coco_map as CM
+
+    gt = synthetic.make_coco_dicts(np.random.RandomState(3), 4, 64, 1,
+                                   with_keypoints=True)
+    dts = []
+    for a in gt["annotations"]:
+        dts.append({"image_id": a["image_id"], "category_id": 1,
+                    "bbox": list(a["bbox"]), "score": 0.9,
+                    "keypoints": list(a["keypoints"])})
+    ev = CM.COCOEvalNP(gt, dts, iou_type="keypoints")
+    stats = ev.evaluate_and_accumulate().summarize()
+    assert len(stats) == 10
+    assert stats[0] == pytest.approx(1.0)
+
+    # an unlabeled GT (num_keypoints=0) must be ignored, not counted FN
+    gt2 = synthetic.make_coco_dicts(np.random.RandomState(4), 2, 64, 1,
+                                    with_keypoints=True)
+    gt2["annotations"][0]["keypoints"] = [0.0] * 51
+    gt2["annotations"][0]["num_keypoints"] = 0
+    dts2 = [{"image_id": a["image_id"], "category_id": 1,
+             "bbox": list(a["bbox"]), "score": 0.9,
+             "keypoints": list(a["keypoints"])}
+            for a in gt2["annotations"][1:]]
+    ev2 = CM.COCOEvalNP(gt2, dts2, iou_type="keypoints")
+    stats2 = ev2.evaluate_and_accumulate().summarize()
+    assert stats2[0] == pytest.approx(1.0)
+
+
+def test_hflip_keypoints_swaps_lr():
+    from object_detectors_tpu.data import transforms as T
+
+    kp = np.zeros((1, 17, 3), np.float32)
+    kp[0, 1] = [10.0, 5.0, 2.0]   # left_eye
+    kp[0, 2] = [20.0, 5.0, 2.0]   # right_eye
+    kp[0, 3] = [0.0, 0.0, 0.0]    # left_ear invisible
+    out = T.hflip_keypoints(kp, width=100)
+    # left_eye channel now holds the mirrored right_eye
+    np.testing.assert_allclose(out[0, 1], [80.0, 5.0, 2.0])
+    np.testing.assert_allclose(out[0, 2], [90.0, 5.0, 2.0])
+    # invisible keypoints stay zeroed (the right_ear channel received
+    # the invisible left_ear)
+    np.testing.assert_allclose(out[0, 4], [0.0, 0.0, 0.0])
+
+
+def test_keypointrcnn_e2e_train_and_oks_eval():
+    """Assembled KeypointRCNN through the CLI: synthetic coco_kp-style
+    data, one epoch, OKS keypoint eval printed (VERDICT item 4)."""
+    from object_detectors_tpu import detection_main
+
+    out = detection_main.main([
+        "--dataset", "synthetic", "--model", "keypointrcnn_resnet50_fpn",
+        "--epochs", "1", "--batch-size", "2", "--image-size", "96",
+        "--max-boxes", "8", "--small",
+        "--output-dir", "/tmp/kprcnn_e2e_test"])
+    assert out is not None

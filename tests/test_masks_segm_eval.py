@@ -80,3 +80,51 @@ def test_masks_for_annotations():
     masks = M.masks_for_annotations(gt["annotations"], 32, 32)
     assert masks.shape == (1, 32, 32)
     assert masks.sum() > 50
+
+
+# ---------------- VERDICT r1 item 5: the closed segm eval loop -------- #
+
+def test_paste_mask_fills_box():
+    mask = np.ones((28, 28), np.float32)
+    out = M.paste_mask(mask, np.array([4.0, 4.0, 14.0, 14.0]), 32, 32)
+    assert out.shape == (32, 32)
+    # interior of the box is on, far outside is off
+    assert out[9, 9] > 0.5
+    assert out[2, 2] == 0.0 and out[20, 20] == 0.0
+    on = out > 0.5
+    box_area = 11 * 11  # int-truncated box + TO_REMOVE convention
+    assert abs(int(on.sum()) - box_area) <= 30
+
+
+def test_evaluator_segm_roundtrip_scores_one():
+    """GT-as-detections with full-box masks through
+    DetectionEvaluator.update(masks=...) -> segm mAP 1.0."""
+    from object_detectors_tpu.data import synthetic
+    from object_detectors_tpu.eval import evaluator as eval_lib
+
+    gt = synthetic.make_coco_dicts(np.random.RandomState(0), 4, 64, 3,
+                                   with_segmentation=True)
+    ev = eval_lib.DetectionEvaluator(gt, label_map=lambda c: c)
+    for im in gt["images"]:
+        anns = [a for a in gt["annotations"]
+                if a["image_id"] == im["id"]]
+        boxes = np.array([[a["bbox"][0], a["bbox"][1],
+                           a["bbox"][0] + a["bbox"][2],
+                           a["bbox"][1] + a["bbox"][3]] for a in anns])
+        labels = np.array([a["category_id"] for a in anns])
+        d = len(anns)
+        ev.update(np.array([im["id"]]), boxes[None],
+                  np.full((1, d), 0.9), labels[None],
+                  np.ones((1, d), bool),
+                  masks=np.ones((1, d, 28, 28), np.float32))
+    bbox_stats = ev.summarize()
+    segm_stats = ev.summarize("segm")
+    assert bbox_stats[0] == pytest.approx(1.0)
+    # paste of an all-ones mask reproduces the rectangular GT mask up to
+    # the 1px padding/rounding band -> IoU > 0.75 everywhere
+    assert segm_stats[1] == pytest.approx(1.0)  # AP@0.5
+    assert segm_stats[0] > 0.5
+    # results are JSON-serializable (RLE counts arrays)
+    import json
+    from object_detectors_tpu.eval.evaluator import _jsonable
+    json.dumps(ev.results, default=_jsonable)
