@@ -40,7 +40,10 @@ class FeaturePyramidNetwork(nn.Module):
 
     out_channels: int = 256
     extra_blocks: str | None = None  # None | "pool" | "p6p7"
-    p6p7_in_from_c5: bool = True  # RetinaNet uses C5 (not P5) as P6 input
+    # The reference's RetinaNet builds LastLevelP6P7(256, 256), i.e. P6
+    # from the P5 FPN output (retinanet.py:635, use_P5). The original
+    # RetinaNet paper's C5 variant stays available via this flag.
+    p6p7_in_from_c5: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact

@@ -181,7 +181,9 @@ def paste_masks_in_image(masks, boxes, image_size, padding: int = 1):
 class MaskRCNNConfig:
     num_classes: int = 91
     rpn: RPN.RPNConfig = RPN.RPNConfig()
-    roi: RH.RoIHeadsConfig = RH.RoIHeadsConfig()
+    # the reference's MaskRCNN keeps 300 detections (mask_rcnn.py:169),
+    # not FasterRCNN's 100
+    roi: RH.RoIHeadsConfig = RH.RoIHeadsConfig(detections_per_img=300)
     resnet_layers: tuple = (3, 4, 6, 3)
     mask_pool_size: tuple = (14, 14)
 

@@ -107,21 +107,26 @@ class RetinaNetHead(nn.Module):
 
 
 class RetinaNet(nn.Module):
-    """Backbone(P3..P7) + head. Returns (cls_logits, bbox_reg, level_sizes)."""
+    """Backbone(P3..P7) + head. Returns (cls_logits, bbox_reg, level_sizes).
+
+    setup()-structured so the param tree is backbone/{resnet,fpn} + head
+    (matching FasterRCNN and the torch state-dict converters)."""
 
     num_classes: int = 91
     resnet_layers: Sequence[int] = (3, 4, 6, 3)
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, images, train: bool = False):
-        backbone = BackboneWithFPN(
+    def setup(self):
+        self.backbone = BackboneWithFPN(
             ResNet(self.resnet_layers, "bottleneck", "frozen", self.dtype),
-            out_channels=256, extra_blocks="p6p7", returned_layers=(2, 3, 4),
-            name="backbone")
-        feats = backbone(images, train)
-        return RetinaNetHead(self.num_classes, dtype=self.dtype,
-                             name="head")(feats)
+            out_channels=256, extra_blocks="p6p7",
+            returned_layers=(2, 3, 4), name="backbone")
+        self.head = RetinaNetHead(self.num_classes, dtype=self.dtype,
+                                  name="head")
+
+    def __call__(self, images, train: bool = False):
+        feats = self.backbone(images, train)
+        return self.head(feats)
 
 
 def _match_per_image(gt_boxes, gt_valid, anchors, cfg: RetinaNetConfig):

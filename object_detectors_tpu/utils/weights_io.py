@@ -162,6 +162,146 @@ def _get_path(tree, path):
     return node
 
 
+def _t_conv(sd, key):
+    return jnp.asarray(np.asarray(sd[key]).transpose(2, 3, 1, 0))
+
+
+def _t_linear(sd, key):
+    return jnp.asarray(np.asarray(sd[key]).transpose(1, 0))
+
+
+def _t_vec(sd, key):
+    return jnp.asarray(np.asarray(sd[key]))
+
+
+def _conv_leaf(sd, prefix):
+    return {"kernel": _t_conv(sd, prefix + ".weight"),
+            "bias": _t_vec(sd, prefix + ".bias")}
+
+
+def _linear_leaf(sd, prefix):
+    return {"kernel": _t_linear(sd, prefix + ".weight"),
+            "bias": _t_vec(sd, prefix + ".bias")}
+
+
+def _fc6_leaf(sd, prefix, channels, pool=7):
+    """box_head.fc6 flattens torch's [C, 7, 7] (c, y, x) pooled layout;
+    ours flattens NHWC (y, x, c) — permute the input dimension."""
+    w = np.asarray(sd[prefix + ".weight"])          # [1024, C*7*7]
+    w = w.reshape(-1, channels, pool, pool)
+    w = w.transpose(2, 3, 1, 0).reshape(pool * pool * channels, -1)
+    return {"kernel": jnp.asarray(w), "bias": _t_vec(sd, prefix + ".bias")}
+
+
+def _fpn_params(sd, prefix="backbone.fpn.", n_levels=4, extra=None):
+    """torchvision FPN inner_blocks/layer_blocks -> our inner{i}/layer{i}
+    (+ p6/p7 for RetinaNet's LastLevelP6P7)."""
+    out = {}
+    for i in range(n_levels):
+        out[f"inner{i}"] = _conv_leaf(sd, f"{prefix}inner_blocks.{i}")
+        out[f"layer{i}"] = _conv_leaf(sd, f"{prefix}layer_blocks.{i}")
+    if extra == "p6p7":
+        out["p6"] = _conv_leaf(sd, f"{prefix}extra_blocks.p6")
+        out["p7"] = _conv_leaf(sd, f"{prefix}extra_blocks.p7")
+    return out
+
+
+def torch_fasterrcnn_to_flax(state_dict: dict, layers=(3, 4, 6, 3),
+                             with_mask: bool = False,
+                             with_keypoints: bool = False):
+    """Full torch FasterRCNN/MaskRCNN/KeypointRCNN (torchvision layout —
+    `tvision/frcnn.py:302-376` pretrained loaders consume the same dict)
+    -> our {'params', 'frozen'} variables.
+
+    Covers backbone.body (ResNet + FrozenBN), backbone.fpn, rpn.head,
+    roi_heads.box_head/box_predictor, and the mask/keypoint branches.
+    """
+    sd = strip_module_prefix({k: np.asarray(v)
+                              for k, v in state_dict.items()})
+    body = {k[len("backbone.body."):]: v for k, v in sd.items()
+            if k.startswith("backbone.body.")}
+    res_params, res_frozen = torch_resnet_to_flax(body, layers)
+
+    pool_c = sd["backbone.fpn.inner_blocks.0.bias"].shape[0]
+    params = {
+        "backbone": {"resnet": res_params,
+                     "fpn": _fpn_params(sd)},
+        "rpn_head": {
+            "conv": _conv_leaf(sd, "rpn.head.conv"),
+            "cls_logits": _conv_leaf(sd, "rpn.head.cls_logits"),
+            "bbox_pred": _conv_leaf(sd, "rpn.head.bbox_pred"),
+        },
+        "box_head": {
+            "fc6": _fc6_leaf(sd, "roi_heads.box_head.fc6", pool_c),
+            "fc7": _linear_leaf(sd, "roi_heads.box_head.fc7"),
+        },
+        "box_predictor": {
+            "cls_score": _linear_leaf(sd, "roi_heads.box_predictor.cls_score"),
+            "bbox_pred": _linear_leaf(sd, "roi_heads.box_predictor.bbox_pred"),
+        },
+    }
+    if with_mask:
+        params["mask_head"] = {
+            f"mask_fcn{i}": _conv_leaf(
+                sd, f"roi_heads.mask_head.mask_fcn{i}")
+            for i in (1, 2, 3, 4)}
+        params["mask_predictor"] = {
+            "conv5_mask": _deconv_leaf(
+                sd, "roi_heads.mask_predictor.conv5_mask"),
+            "mask_fcn_logits": _conv_leaf(
+                sd, "roi_heads.mask_predictor.mask_fcn_logits"),
+        }
+    if with_keypoints:
+        n = len([k for k in sd
+                 if k.startswith("roi_heads.keypoint_head.kps_fcn")
+                 and k.endswith(".weight")])
+        params["kp_head"] = {
+            f"kps_fcn{i}": _conv_leaf(
+                sd, f"roi_heads.keypoint_head.kps_fcn{i}")
+            for i in range(1, n + 1)}
+        params["kp_predictor"] = {
+            "kps_score_lowres": _deconv_leaf(
+                sd, "roi_heads.keypoint_predictor.kps_score_lowres")}
+    return {"params": params,
+            "frozen": {"backbone": {"resnet": res_frozen}}}
+
+
+def _deconv_leaf(sd, prefix):
+    """torch ConvTranspose2d weight [in, out, kh, kw] -> flax
+    ConvTranspose kernel [kh, kw, in, out]. flax's conv_transpose with
+    transpose_kernel=False correlates with the kernel as stored, which
+    matches torch's gradient-of-conv once spatial dims are FLIPPED."""
+    w = np.asarray(sd[prefix + ".weight"])  # [in, out, kh, kw]
+    w = w.transpose(2, 3, 0, 1)[::-1, ::-1].copy()
+    return {"kernel": jnp.asarray(w), "bias": _t_vec(sd, prefix + ".bias")}
+
+
+def torch_retinanet_to_flax(state_dict: dict, layers=(3, 4, 6, 3)):
+    """torch RetinaNet (tvision/retinanet.py layout: backbone P3..P7 via
+    LastLevelP6P7, shared 4-conv towers) -> our {'params', 'frozen'}."""
+    sd = strip_module_prefix({k: np.asarray(v)
+                              for k, v in state_dict.items()})
+    body = {k[len("backbone.body."):]: v for k, v in sd.items()
+            if k.startswith("backbone.body.")}
+    res_params, res_frozen = torch_resnet_to_flax(body, layers)
+    head = {}
+    for i in range(4):
+        head[f"cls_conv{i}"] = _conv_leaf(
+            sd, f"head.classification_head.conv.{2 * i}")
+        head[f"reg_conv{i}"] = _conv_leaf(
+            sd, f"head.regression_head.conv.{2 * i}")
+    head["cls_logits"] = _conv_leaf(
+        sd, "head.classification_head.cls_logits")
+    head["bbox_reg"] = _conv_leaf(sd, "head.regression_head.bbox_reg")
+    params = {
+        "backbone": {"resnet": res_params,
+                     "fpn": _fpn_params(sd, n_levels=3, extra="p6p7")},
+        "head": head,
+    }
+    return {"params": params,
+            "frozen": {"backbone": {"resnet": res_frozen}}}
+
+
 def torch_resnet_to_flax(state_dict: dict, layers=(3, 4, 6, 3)):
     """Convert a torchvision ResNet state_dict (the pretrained backbones
     the reference pulls via torch.hub, utilities/resnet.py) into our

@@ -1,0 +1,372 @@
+"""Numerical parity harness: run the REFERENCE's torch models on CPU
+(under parity/tvshim.py) and our JAX models with the SAME weights on the
+SAME inputs, and report per-stage max-abs-diffs + detection agreement.
+
+This is the VERDICT-r1 fallback for accuracy parity: the image has no
+pretrained checkpoints, no torchvision wheel and no COCO images, so
+parity is proven on seeded random weights — which exercises the exact
+same graphs (every conv/BN/FPN/RPN/RoIAlign/NMS/postprocess op) as
+pretrained ones would.
+
+Usage: python parity/run_parity.py [frcnn|retinanet|maskrcnn|yolo|all]
+Writes PARITY.md-ready rows to stdout and parity/parity_results.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import torch  # noqa: E402
+
+import tvshim  # noqa: E402
+
+tvshim.install()
+
+# jax AFTER the shim (jax import is heavy; order is otherwise free)
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp  # noqa: E402
+
+SIZE = 320  # stride-32-divisible canvas; min=max => reference scale 1.0
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def _mad(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    assert a.shape == b.shape, (a.shape, b.shape)
+    return float(np.max(np.abs(a - b))) if a.size else 0.0
+
+
+def _mad_rel(a, b):
+    """(max abs diff, max |ref|, relative diff) — random untrained nets
+    produce large activations; the relative figure is the meaningful
+    one for f32 accumulation-order differences."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    scale = float(np.max(np.abs(a))) if a.size else 1.0
+    d = _mad(a, b)
+    return {"maxdiff": d, "ref_scale": scale,
+            "rel": d / max(scale, 1e-12)}
+
+
+def _match_detections(ref, mine, iou_thr=0.75):
+    """Greedy score-order matching of two detection sets; returns
+    (n_ref, n_mine, n_matched, max box diff, max score diff over
+    matches). Mine = (boxes, scores, labels, valid) padded arrays."""
+    rb, rs, rl = ref
+    mb = np.asarray(mine[0])[np.asarray(mine[3])]
+    msc = np.asarray(mine[1])[np.asarray(mine[3])]
+    mlb = np.asarray(mine[2])[np.asarray(mine[3])]
+    used = np.zeros(len(mb), bool)
+    box_d, score_d, matched, pairs = 0.0, 0.0, 0, []
+    valid_idx = np.where(np.asarray(mine[3]))[0]
+    for i in np.argsort(-rs):
+        best, best_iou = -1, iou_thr
+        for j in range(len(mb)):
+            if used[j] or mlb[j] != rl[i]:
+                continue
+            bi = _iou(rb[i], mb[j])
+            if bi > best_iou:
+                best, best_iou = j, bi
+        if best >= 0:
+            used[best] = True
+            matched += 1
+            pairs.append((int(i), int(valid_idx[best])))
+            box_d = max(box_d, float(np.max(np.abs(rb[i] - mb[best]))))
+            score_d = max(score_d, abs(float(rs[i]) - float(msc[best])))
+    return {"n_ref": int(len(rb)), "n_ours": int(len(mb)),
+            "n_matched": matched, "box_maxdiff": box_d,
+            "score_maxdiff": score_d}, pairs
+
+
+def _iou(a, b):
+    ix = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
+    iy = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
+    inter = ix * iy
+    ua = ((a[2] - a[0]) * (a[3] - a[1])
+          + (b[2] - b[0]) * (b[3] - b[1]) - inter)
+    return inter / ua if ua > 0 else 0.0
+
+
+def _image(seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.rand(SIZE, SIZE, 3).astype(np.float32)
+
+
+def _normalized(img):
+    return (img - IMAGENET_MEAN) / IMAGENET_STD
+
+
+# --------------------------------------------------------------------- #
+# Faster R-CNN
+# --------------------------------------------------------------------- #
+
+def frcnn_parity(with_mask: bool = False):
+    from tvision.frcnn import fasterrcnn_resnet50_fpn
+    from tvision.mask_rcnn import maskrcnn_resnet50_fpn
+
+    torch.manual_seed(0)
+    tfidf = {"values": torch.ones(1, 91), "num_classes": 91,
+             "mini_batch": False, "tfidf_norm": 0, "loss_function": "ce",
+             "classification_weights": None}
+    build = maskrcnn_resnet50_fpn if with_mask else fasterrcnn_resnet50_fpn
+    ref = build(pretrained=False, pretrained_backbone=False,
+                num_classes=91, tfidf=tfidf,
+                min_size=SIZE, max_size=SIZE)
+    ref.eval()
+
+    img = _image()
+    x_t = torch.from_numpy(img.transpose(2, 0, 1))
+
+    captured = {}
+    ref.backbone.register_forward_hook(
+        lambda m, i, o: captured.update(backbone=o))
+    ref.rpn.register_forward_hook(
+        lambda m, i, o: captured.update(proposals=o[0]))
+    ref.roi_heads.box_predictor.register_forward_hook(
+        lambda m, i, o: captured.update(box_logits=o[0], box_reg=o[1]))
+    with torch.no_grad():
+        out = ref([x_t])[0]
+
+    # ---- ours, same weights ----
+    from object_detectors_tpu.models import faster_rcnn as FR
+    from object_detectors_tpu.models import mask_rcnn as MR
+    from object_detectors_tpu.models import roi_heads as RH
+    from object_detectors_tpu.models import rpn as RPN
+    from object_detectors_tpu.ops.roi_align import (
+        multiscale_roi_align_flat,
+    )
+    from object_detectors_tpu.utils import weights_io as W
+
+    variables = W.torch_fasterrcnn_to_flax(ref.state_dict(),
+                                           with_mask=with_mask)
+    cfg_cls = MR.MaskRCNNConfig if with_mask else FR.FasterRCNNConfig
+    cfg = cfg_cls(num_classes=91)  # maskrcnn keeps 300 dets (ref :169)
+    model = (MR.MaskRCNN if with_mask else FR.FasterRCNN)(cfg)
+    xj = jnp.asarray(_normalized(img))[None]
+
+    results = {}
+    # stage 1: backbone FPN features
+    from object_detectors_tpu.models.resnet import BackboneWithFPN, ResNet
+
+    bb = BackboneWithFPN(ResNet((3, 4, 6, 3), "bottleneck", "frozen"),
+                         out_channels=256, extra_blocks="pool",
+                         returned_layers=(1, 2, 3, 4))
+    feats = bb.apply({"params": variables["params"]["backbone"],
+                      "frozen": variables["frozen"]["backbone"]},
+                     xj, False)
+    ref_feats = list(captured["backbone"].values())
+    for lvl, (rf, mf) in enumerate(zip(ref_feats, feats)):
+        results[f"fpn_P{lvl+2}"] = _mad_rel(
+            rf[0].numpy().transpose(1, 2, 0), mf[0])
+
+    # stage 2: box head logits on the REFERENCE's proposals (isolates
+    # RoIAlign + TwoMLPHead + predictor from RPN tie-breaks)
+    props = captured["proposals"][0].numpy()
+    pj = jnp.asarray(props)[None]
+    pooled = jax.vmap(lambda fs, bx: multiscale_roi_align_flat(
+        fs, bx, (SIZE, SIZE), (7, 7)))(tuple(feats[:4]), pj)
+    hv = {"params": variables["params"]["box_head"]}
+    x2 = RH.TwoMLPHead(1024).apply(hv, pooled)
+    pv = {"params": variables["params"]["box_predictor"]}
+    logits, reg = RH.FastRCNNPredictor(91).apply(pv, x2)
+    results["box_logits"] = _mad_rel(
+        captured["box_logits"].numpy(), np.asarray(logits[0]))
+    results["box_reg"] = _mad_rel(
+        captured["box_reg"].numpy(), np.asarray(reg[0]))
+
+    # stage 3: full model end-to-end detections
+    mine = model.apply(variables, xj, train=False)
+    det, pairs = _match_detections(
+        (out["boxes"].numpy(), out["scores"].numpy(),
+         out["labels"].numpy()), mine[:4])
+    results.update({f"det_{k}": v for k, v in det.items()})
+
+    if with_mask:
+        # stage 4: pasted mask probabilities of matched detections
+        ref_masks = out["masks"].numpy()  # [D, 1, H, W] pasted probs
+        my_pasted = np.asarray(MR.paste_masks_in_image(
+            jnp.asarray(mine[4][0]), jnp.asarray(mine[0][0]),
+            (SIZE, SIZE)))
+        d = 0.0
+        for ri, mi in pairs[:20]:
+            d = max(d, float(np.mean(np.abs(
+                ref_masks[ri, 0] - my_pasted[mi]))))
+        results["mask_paste_mean_absdiff_worst"] = d
+    return results
+
+
+# --------------------------------------------------------------------- #
+# RetinaNet
+# --------------------------------------------------------------------- #
+
+def retinanet_parity():
+    from tvision.retinanet import retinanet_resnet50_fpn
+
+    torch.manual_seed(1)
+    tfidf = {"values": torch.ones(1, 91), "num_classes": 91,
+             "mini_batch": False, "tfidf_norm": 0, "loss_function": "ce",
+             "classification_weights": None}
+    ref = retinanet_resnet50_fpn(pretrained=False,
+                                 pretrained_backbone=False,
+                                 num_classes=91, tfidf=tfidf,
+                                 min_size=SIZE, max_size=SIZE)
+    # reference bug workaround: retinanet.py:416 reads self.tfidf_post
+    # but only the classification head ever sets it (retinanet.py:80) —
+    # eval would AttributeError; supply the intended tensor.
+    ref.tfidf_post = tfidf["values"].clone()
+    ref.eval()
+    img = _image(1)
+    x_t = torch.from_numpy(img.transpose(2, 0, 1))
+    captured = {}
+    ref.head.register_forward_hook(
+        lambda m, i, o: captured.update(head=o))
+    with torch.no_grad():
+        out = ref([x_t])[0]
+
+    from object_detectors_tpu.models import retinanet as RN
+    from object_detectors_tpu.models import anchors as anchor_lib
+    from object_detectors_tpu.utils import weights_io as W
+
+    variables = W.torch_retinanet_to_flax(ref.state_dict())
+    model = RN.RetinaNet(num_classes=91)
+    xj = jnp.asarray(_normalized(img))[None]
+    cls, reg, level_sizes = model.apply(variables, xj, train=False)
+
+    results = {
+        "cls_logits": _mad_rel(captured["head"]["cls_logits"][0],
+                               np.asarray(cls[0])),
+        "bbox_reg": _mad_rel(captured["head"]["bbox_regression"][0],
+                             np.asarray(reg[0])),
+    }
+    grids = [(SIZE // s, SIZE // s) for s in (8, 16, 32, 64, 128)]
+    sizes, ars = anchor_lib.retinanet_anchor_config()
+    anchors = jnp.asarray(anchor_lib.grid_anchors(
+        (SIZE, SIZE), grids, sizes, ars))
+    cfg = RN.RetinaNetConfig(num_classes=91)
+    mine = RN.retinanet_postprocess(
+        cls.astype(jnp.float32), reg.astype(jnp.float32), anchors,
+        tuple(level_sizes), (SIZE, SIZE), cfg)
+    # reference labels are 0-based class indices here (raw one-hot cols)
+    det, _ = _match_detections(
+        (out["boxes"].numpy(), out["scores"].numpy(),
+         out["labels"].numpy()), mine)
+    results.update({f"det_{k}": v for k, v in det.items()})
+    return results
+
+
+# --------------------------------------------------------------------- #
+# YOLOv3
+# --------------------------------------------------------------------- #
+
+def yolo_parity():
+    """Reference YoloHead (pure torch, hydra-config driven) vs our
+    YoloHead: raw head-map parity per scale. Weights flow through the
+    darknet `.weights` binary format — the reference's own pretrained
+    load path (yolohead.py:90-164) and ours (weights_io) read the same
+    stream, so this also validates yolov3_orig-style imports."""
+    sys.path.insert(0, "/root/reference/yolo")
+    os.environ.setdefault("owd", "/tmp")
+    from nets.yolohead import YoloHead as RefYolo
+
+    anchors = [[[116, 90], [156, 198], [373, 326]],
+               [[30, 61], [62, 45], [59, 119]],
+               [[10, 13], [16, 30], [33, 23]]]
+    # the reference requires a backbone checkpoint path; feed it a seeded
+    # random darknet-53 state dict
+    from nets.backbone.darknet import DarkNet
+
+    torch.manual_seed(2)
+    torch.save(DarkNet([1, 2, 8, 8, 4]).state_dict(),
+               "/tmp/parity_dn53.pth")
+    cfg = {
+        "backbone": {"backbone_name": "darknet_53",
+                     "backbone_pretrained": "parity_dn53.pth"},
+        "neck": {"fpn": False, "spp": False, "spp_bottleneck": False},
+        "dataset": {"anchors": anchors},
+        "yolo": {"classes": 80},
+    }
+    ref = RefYolo(cfg)
+    ref.eval()
+    img = _image(2)[:256, :256]  # 256 divisible by 32
+    x_t = torch.from_numpy(img.transpose(2, 0, 1))[None]
+    with torch.no_grad():
+        ref_outs = ref(x_t)
+
+    # export reference weights into the darknet .weights stream order and
+    # load through our importer (exercises the production load path)
+    import tempfile
+
+    from object_detectors_tpu.models.yolo import YoloHead
+    from object_detectors_tpu.utils import weights_io as W
+
+    stream = [np.zeros(5, np.int32).tobytes()]
+    pending_conv = []
+    for mod in ref.modules():
+        if isinstance(mod, torch.nn.BatchNorm2d):
+            stream.append(mod.bias.detach().numpy().tobytes())
+            stream.append(mod.weight.detach().numpy().tobytes())
+            stream.append(mod.running_mean.numpy().tobytes())
+            stream.append(mod.running_var.numpy().tobytes())
+            stream.append(pending_conv.pop().tobytes())
+        elif isinstance(mod, torch.nn.Conv2d):
+            if mod.bias is not None:  # plain conv_out: bias then kernel
+                stream.append(mod.bias.detach().numpy().tobytes())
+                stream.append(mod.weight.detach().numpy().tobytes())
+            else:
+                pending_conv.append(mod.weight.detach().numpy())
+    # NOTE: module iteration order == registration order == stream order
+    mine = YoloHead(num_classes=80, backbone_layers=(1, 2, 8, 8, 4))
+    xj = jnp.asarray(img)[None]
+    v = mine.init(jax.random.key(0), xj, train=False)
+    with tempfile.NamedTemporaryFile(suffix=".weights") as f:
+        f.write(b"".join(stream))
+        f.flush()
+        params, stats, used = W.load_darknet_weights(
+            v["params"], v["batch_stats"], f.name,
+            explicit_order=W.yolo_head_order())
+    outs = mine.apply({"params": params, "batch_stats": stats}, xj,
+                      train=False)
+    results = {"weights_floats_consumed": int(used)}
+    for i, (ro, mo) in enumerate(zip(ref_outs, outs)):
+        # torch raw map [B, A*(5+C), H, W] -> NHWC [B, H, W, A*(5+C)]
+        results[f"yolo_scale{i}"] = _mad_rel(
+            ro[0].numpy().transpose(1, 2, 0), np.asarray(mo[0]))
+    return results
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    runs = {}
+    if which in ("frcnn", "all"):
+        runs["fasterrcnn_resnet50_fpn"] = frcnn_parity()
+    if which in ("maskrcnn",):
+        runs["maskrcnn_resnet50_fpn"] = frcnn_parity(with_mask=True)
+    if which in ("retinanet", "all"):
+        runs["retinanet_resnet50_fpn"] = retinanet_parity()
+    if which in ("yolo", "all"):
+        runs["yolov3"] = yolo_parity()
+    print(json.dumps(runs, indent=2, default=float))
+    path = os.path.join(os.path.dirname(__file__),
+                        "parity_results.json")
+    merged = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            merged = json.load(f)
+    merged.update(runs)
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=2, default=float)
+
+
+if __name__ == "__main__":
+    main()

@@ -411,4 +411,42 @@ def install(reference_root="/root/reference/torchvision_models"):
     det_utils = importlib.import_module("tvision._utils")
     detection._utils = det_utils
     sys.modules["torchvision.models.detection._utils"] = det_utils
+    _stub_missing()
     return tv
+
+
+def _stub_missing():
+    """Import-time stubs for packages the reference's modules import at
+    module scope but that this image lacks (pycocotools/lvis/sklearn/
+    tqdm/imgaug). Only the names, never functionality — any actual call
+    raises, which keeps the parity harness honest."""
+
+    def stub(name, **attrs):
+        try:
+            __import__(name.split(".")[0])
+            return
+        except ImportError:
+            pass
+        parts = name.split(".")
+        for i in range(1, len(parts) + 1):
+            mod_name = ".".join(parts[:i])
+            if mod_name not in sys.modules:
+                sys.modules[mod_name] = types.ModuleType(mod_name)
+            if i > 1:
+                setattr(sys.modules[".".join(parts[:i - 1])],
+                        parts[i - 1], sys.modules[mod_name])
+        for k, v in attrs.items():
+            setattr(sys.modules[name], k, v)
+
+    class _Unavailable:
+        def __init__(self, *a, **kw):
+            raise RuntimeError("stubbed dependency called in parity run")
+
+    stub("pycocotools.coco", COCO=_Unavailable)
+    stub("lvis", LVIS=_Unavailable, LVISEval=_Unavailable)
+    stub("sklearn.feature_extraction.text",
+         TfidfTransformer=_Unavailable)
+    stub("sklearn.cluster", KMeans=_Unavailable)
+    stub("tqdm", tqdm=lambda x, *a, **kw: x)
+    stub("imgaug.augmenters", OneOf=_Unavailable,
+         Sequential=_Unavailable)
