@@ -1,0 +1,149 @@
+"""Faster R-CNN stage ablation timing on the real chip.
+
+Times cumulative pipeline prefixes (backbone -> +rpn -> +filter ->
++roi_align -> +heads -> +postprocess) with a host-read checksum sync
+(block_until_ready phantom-syncs through the dev relay — see
+BASELINE.md methodology). Identifies the stage to optimize for
+VERDICT r1 item 2 (41 -> >=300 img/s/chip).
+
+Usage: python analysis/frcnn_ablate.py [--bs 8] [--size 640] [--f32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+
+from object_detectors_tpu.models import anchors as anchor_lib  # noqa: E402
+from object_detectors_tpu.models import faster_rcnn as FR  # noqa: E402
+from object_detectors_tpu.models import roi_heads as RH  # noqa: E402
+from object_detectors_tpu.models import rpn as RPN  # noqa: E402
+from object_detectors_tpu.models.resnet import (  # noqa: E402
+    BackboneWithFPN, ResNet,
+)
+from object_detectors_tpu.ops import boxes as box_ops  # noqa: E402
+from object_detectors_tpu.ops.roi_align import (  # noqa: E402
+    multiscale_roi_align_flat as multiscale_roi_align,
+)
+
+
+def build_stages(size, dtype):
+    cfg = FR.FasterRCNNConfig(num_classes=91)
+    model = FR.FasterRCNN(cfg, dtype=dtype)
+    x0 = jnp.zeros((1, size, size, 3), dtype)
+    variables = model.init({"params": jax.random.key(0)}, x0, train=False)
+
+    bb = BackboneWithFPN(ResNet((3, 4, 6, 3), "bottleneck", "frozen",
+                                dtype),
+                         out_channels=256, extra_blocks="pool",
+                         returned_layers=(1, 2, 3, 4))
+    bbv = {"params": variables["params"]["backbone"],
+           "frozen": variables["frozen"]["backbone"]}
+    rpnv = {"params": variables["params"]["rpn_head"]}
+    headv = {"params": variables["params"]["box_head"]}
+    predv = {"params": variables["params"]["box_predictor"]}
+
+    def backbone_only(images):
+        feats = bb.apply(bbv, images, False)
+        return sum(jnp.sum(f.astype(jnp.float32)) for f in feats)
+
+    def plus_rpn(images):
+        feats = bb.apply(bbv, images, False)
+        obj, deltas, level_sizes = RPN.RPNHead(3, dtype=dtype).apply(
+            rpnv, feats)
+        return jnp.sum(obj.astype(jnp.float32))
+
+    def _through_filter(images):
+        feats = bb.apply(bbv, images, False)
+        obj, deltas, level_sizes = RPN.RPNHead(3, dtype=dtype).apply(
+            rpnv, feats)
+        obj = obj.astype(jnp.float32)
+        deltas = deltas.astype(jnp.float32)
+        grid_sizes = tuple((f.shape[1], f.shape[2]) for f in feats)
+        sizes, ars = anchor_lib.rpn_anchor_config()
+        anchors = jnp.asarray(anchor_lib.grid_anchors(
+            (images.shape[1], images.shape[2]), grid_sizes,
+            sizes[:len(grid_sizes)], ars[:len(grid_sizes)]))
+        props = box_ops.decode_boxes(deltas, anchors[None],
+                                     cfg.rpn.box_weights)
+        pb, ps, pv = RPN.filter_proposals(
+            props, obj, level_sizes, images.shape[1:3], cfg.rpn,
+            training=False)
+        return feats, pb, pv
+
+    def plus_filter(images):
+        feats, pb, pv = _through_filter(images)
+        return jnp.sum(pb) + jnp.sum(pv)
+
+    def plus_roialign(images):
+        feats, pb, pv = _through_filter(images)
+        pooled = jax.vmap(lambda fs, bx: multiscale_roi_align(
+            fs, bx, images.shape[1:3], (7, 7)))(tuple(feats[:4]), pb)
+        return jnp.sum(pooled.astype(jnp.float32))
+
+    def plus_heads(images):
+        feats, pb, pv = _through_filter(images)
+        pooled = jax.vmap(lambda fs, bx: multiscale_roi_align(
+            fs, bx, images.shape[1:3], (7, 7)))(tuple(feats[:4]), pb)
+        h = RH.TwoMLPHead(1024, dtype=dtype).apply(headv, pooled)
+        lg, rg = RH.FastRCNNPredictor(91, dtype=dtype).apply(predv, h)
+        return jnp.sum(lg.astype(jnp.float32))
+
+    def full(images):
+        out = model.apply(variables, images, train=False)
+        return jnp.sum(out[0]) + jnp.sum(out[1])
+
+    return {"backbone": backbone_only, "rpn_head": plus_rpn,
+            "proposal_filter": plus_filter, "roi_align": plus_roialign,
+            "box_heads": plus_heads, "full": full}
+
+
+def time_fn(fn, images, warmup=2, iters=5):
+    jf = jax.jit(fn)
+    for _ in range(warmup):
+        float(jf(images))  # host read forces real execution
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        s = float(jf(images))
+    dt = (time.perf_counter() - t0) / iters
+    del s
+    return dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bs", type=int, default=8)
+    ap.add_argument("--size", type=int, default=640)
+    ap.add_argument("--f32", action="store_true")
+    ap.add_argument("--stages", nargs="*", default=None)
+    args = ap.parse_args()
+    dtype = jnp.float32 if args.f32 else jnp.bfloat16
+
+    stages = build_stages(args.size, dtype)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(
+        rng.rand(args.bs, args.size, args.size, 3).astype(np.float32),
+        dtype)
+    prev = 0.0
+    for name, fn in stages.items():
+        if args.stages and name not in args.stages:
+            continue
+        dt = time_fn(fn, images)
+        print(f"{name:18s} {dt*1e3:8.1f} ms  (+{(dt-prev)*1e3:7.1f} ms)"
+              f"  {args.bs/dt:7.1f} img/s")
+        prev = dt
+
+
+if __name__ == "__main__":
+    main()

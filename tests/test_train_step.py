@@ -134,3 +134,16 @@ def test_plateau_state():
     assert p.update(0.4) == 1.0   # bad 1 (<= patience)
     assert p.update(0.3) == 0.5   # bad 2 -> decay
     assert p.update(0.9) == 0.5   # new best, scale persists
+
+
+def test_frcnn_train_step_sharded_on_mesh():
+    """Two-stage model under GSPMD on the 8-device mesh (VERDICT r1
+    item 9) — vmap'd NMS + sampling inside jit must compile + execute."""
+    import jax
+    import __graft_entry__ as G
+    from object_detectors_tpu.parallel import mesh as M
+
+    devices = jax.devices()[:8]
+    mesh = M.make_mesh(devices, data=4, model=2)
+    loss = G._dryrun_frcnn(mesh, 8)
+    assert loss > 0
