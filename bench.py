@@ -1,6 +1,18 @@
 """Benchmark harness — the reference `yolo/benchmark.py` protocol rebuilt
-for TPU: end-to-end YOLOv3 COCO-val-shaped inference throughput
-(images/sec/chip) as one jitted program, swept over batch sizes.
+for TPU, covering ALL FIVE BASELINE.json configs:
+
+1. yolo640      — YOLOv3 640² e2e (uint8 in, on-device normalize,
+                  decode + majority NMS)
+2. retinanet640 — RetinaNet R50-FPN eval postprocess
+3. frcnn640     — Faster R-CNN two-stage eval
+4. yolo_lvis416 — YOLO with 1203 LVIS classes (long-tail NMS)
+5. serving      — mixed YOLO+RetinaNet stream (serve.py scheduler)
+
+Honest e2e: the timed loop ships raw uint8 batches host->device every
+iteration and normalizes ON DEVICE; dispatches are issued back-to-back
+(async) with one final host read, matching pipelined production serving
+(per-dispatch sync costs ~2-3 s RPC through the dev relay and would
+measure the relay, not the TPU — BASELINE.md methodology).
 
 Optimizations over the naive pipeline:
 * scores/labels computed straight from raw logits (sigmoid(obj) *
@@ -10,9 +22,9 @@ Optimizations over the naive pipeline:
 * bfloat16 backbone, f32 box math;
 * persistent XLA compilation cache (first driver run warm-starts).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` is value / 500 — the BASELINE.json north star is 4000
-imgs/sec e2e on a v5e-8 (8 chips), i.e. 500 imgs/sec/chip.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"configs": {...}}. ``vs_baseline`` is value / 500 — the BASELINE.json
+north star is 4000 imgs/sec e2e on a v5e-8 (8 chips) = 500/chip.
 """
 
 from __future__ import annotations
@@ -78,26 +90,179 @@ def build_pipeline(num_classes=80, img_size=640, topk=256, max_det=100,
     return infer
 
 
-def run(batch_sizes=(64,), img_size=640, warmup=2, iters=10):
-    infer = build_pipeline(img_size=img_size)
+def build_pipeline_uint8(num_classes=80, img_size=640, topk=256,
+                         max_det=100, dtype=jnp.bfloat16, conf=0.1,
+                         iou_thr=0.6):
+    """uint8-input variant: on-device /255 + ImageNet normalize fused in
+    front of the same graph (the e2e definition in BASELINE.json)."""
+    from object_detectors_tpu.kernels.preprocess import preprocess_images
+
+    core = build_pipeline(num_classes, img_size, topk, max_det, dtype,
+                          conf, iou_thr)
+
+    @jax.jit
+    def infer(u8):
+        return core(preprocess_images(u8, dtype))
+
+    return infer
+
+
+def _timed_stream(infer, host_batches, warmup=2, iters=10):
+    """Ship a DISTINCT uint8 host batch each iteration (H2D inside the
+    timed window), dispatch back-to-back, one final host read."""
+    for i in range(warmup):
+        out = infer(jax.device_put(host_batches[i % len(host_batches)]))
+    jax.block_until_ready(out)
+    float(np.asarray(out[1]).sum())  # true host read
+    t0 = time.perf_counter()
+    outs = []
+    for i in range(iters):
+        x = jax.device_put(host_batches[i % len(host_batches)])
+        outs.append(infer(x))
+    # final sync: host-read a checksum of the LAST output (relay-proof)
+    s = float(np.asarray(outs[-1][1]).sum())
+    dt = (time.perf_counter() - t0) / iters
+    del s
+    return dt
+
+
+def run(batch_sizes=(64,), img_size=640, warmup=2, iters=10,
+        uint8=True):
+    build = build_pipeline_uint8 if uint8 else build_pipeline
+    infer = build(img_size=img_size)
     best = 0.0
     results = {}
     rng = np.random.RandomState(0)
     for bs in batch_sizes:
-        imgs = jnp.asarray(
-            rng.rand(bs, img_size, img_size, 3).astype(np.float32),
-            jnp.bfloat16)
-        for _ in range(warmup):
-            jax.block_until_ready(infer(imgs))
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = infer(imgs)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / iters
+        if uint8:
+            batches = [rng.randint(0, 255, (bs, img_size, img_size, 3),
+                                   dtype=np.uint8) for _ in range(3)]
+        else:
+            batches = [np.asarray(
+                rng.rand(bs, img_size, img_size, 3), np.float32
+            ).astype(jnp.bfloat16) for _ in range(3)]
+        dt = _timed_stream(infer, batches, warmup, iters)
         ips = bs / dt
         results[bs] = ips
         best = max(best, ips)
     return best, results
+
+
+def run_retinanet(bs=8, img_size=640, warmup=2, iters=8):
+    """BASELINE config 2: RetinaNet R50-FPN eval, uint8 e2e."""
+    from object_detectors_tpu.serve import build_retinanet_pipeline
+
+    infer = build_retinanet_pipeline(img_size=img_size, uint8_input=True)
+    rng = np.random.RandomState(1)
+    batches = [rng.randint(0, 255, (bs, img_size, img_size, 3),
+                           dtype=np.uint8) for _ in range(3)]
+    dt = _timed_stream(infer, batches, warmup, iters)
+    return bs / dt
+
+
+def run_frcnn(bs=8, img_size=640, warmup=2, iters=8,
+              dtype=jnp.bfloat16):
+    """BASELINE config 3: Faster R-CNN two-stage eval, uint8 e2e."""
+    from object_detectors_tpu.kernels.preprocess import preprocess_images
+    from object_detectors_tpu.models import faster_rcnn as FR
+
+    model = FR.FasterRCNN(FR.FasterRCNNConfig(num_classes=91),
+                          dtype=dtype)
+    variables = model.init(
+        {"params": jax.random.key(0)},
+        jnp.zeros((1, img_size, img_size, 3), dtype), train=False)
+
+    @jax.jit
+    def infer(u8, v):
+        return model.apply(v, preprocess_images(u8, dtype), train=False)
+
+    rng = np.random.RandomState(2)
+    batches = [rng.randint(0, 255, (bs, img_size, img_size, 3),
+                           dtype=np.uint8) for _ in range(3)]
+    infer_v = lambda x: infer(x, variables)  # noqa: E731
+    dt = _timed_stream(infer_v, batches, warmup, iters)
+    return bs / dt
+
+
+def run_yolo_lvis(bs=16, img_size=416, warmup=2, iters=8,
+                  num_classes=1203, topk=300):
+    """BASELINE config 4: YOLO + 1203-class LVIS decode/majority-NMS.
+
+    Params are passed as ARGUMENTS (a 1203-class closure exceeds the dev
+    relay's /remote_compile body limit — BASELINE.md methodology)."""
+    from object_detectors_tpu.kernels.preprocess import preprocess_images
+    from object_detectors_tpu.ops import nms as N
+
+    dtype = jnp.bfloat16
+    cfg = YC.YoloLossConfig(num_classes=num_classes, img_size=img_size)
+    model = YoloHead(num_classes=num_classes, dtype=dtype)
+    x0 = jnp.zeros((1, img_size, img_size, 3), dtype)
+    variables = model.init(jax.random.key(0), x0, train=False)
+
+    @jax.jit
+    def infer(u8, v):
+        images = preprocess_images(u8, dtype)
+        outs = model.apply(v, images, train=False)
+        raw = YC.flatten_raw_outputs(outs, num_classes, 3)
+        priors, gw = YC.make_priors(cfg, tuple(o.shape[1] for o in outs))
+        obj = raw[..., 4].astype(jnp.float32)
+        logits = raw[..., 5:].astype(jnp.float32)
+        max_l = jnp.max(logits, -1)
+        lse = jax.nn.logsumexp(logits, -1)
+        score = jax.nn.sigmoid(obj) * jnp.exp(max_l - lse)
+        label = jnp.argmax(logits, -1).astype(jnp.int32)
+        topv, topi = jax.lax.top_k(score, topk)
+        sel = jnp.take_along_axis(
+            raw[..., :4].astype(jnp.float32), topi[..., None], 1)
+        sp = priors[topi]
+        sgw = gw[topi]
+        strides = (img_size / sgw)[..., None]
+        xy = (jax.nn.sigmoid(sel[..., 0:2])
+              + sp[..., 0:2] * sgw[..., None] - 0.5) * strides
+        wh = jnp.exp(sel[..., 2:4]) * sp[..., 2:4] * sgw[..., None] \
+            * strides
+        boxes = jnp.concatenate([xy - wh / 2, xy + wh / 2], -1)
+        labels = jnp.take_along_axis(label, topi, 1)
+        f = jax.vmap(lambda b, s, c, v: N.nms_majority(
+            b, s, c, num_classes=num_classes, iou_threshold=0.6,
+            max_output=300, valid=v))
+        return f(boxes, topv, labels, topv > 0.1)
+
+    rng = np.random.RandomState(3)
+    batches = [rng.randint(0, 255, (bs, img_size, img_size, 3),
+                           dtype=np.uint8) for _ in range(3)]
+    infer_v = lambda x: infer(x, variables)  # noqa: E731
+    dt = _timed_stream(infer_v, batches, warmup, iters)
+    return bs / dt
+
+
+def run_serving(n_requests=256, img_size=640, yolo_bs=32, retina_bs=8):
+    """BASELINE config 5: mixed YOLO+RetinaNet stream through the
+    batched serving scheduler (uint8 requests, async in-flight)."""
+    from object_detectors_tpu import serve as S
+
+    pipelines = {
+        "yolo": S.build_yolo_pipeline(img_size=img_size,
+                                      batch_size=yolo_bs,
+                                      uint8_input=True),
+        "retinanet": S.build_retinanet_pipeline(img_size=img_size,
+                                                uint8_input=True),
+    }
+    server = S.BatchedDetectionServer(
+        pipelines, {"yolo": yolo_bs, "retinanet": retina_bs},
+        input_dtype=jnp.uint8)
+    rng = np.random.RandomState(4)
+    reqs = [S.Request(i, "yolo" if i % 5 else "retinanet",
+                      rng.randint(0, 255, (img_size, img_size, 3),
+                                  dtype=np.uint8))
+            for i in range(n_requests)]
+    # warmup compiles
+    server.run_stream(reqs[: yolo_bs + retina_bs])
+    t0 = time.perf_counter()
+    out = server.run_stream(reqs)
+    dt = time.perf_counter() - t0
+    assert len(out) >= n_requests
+    return n_requests / dt
 
 
 def run_protocol(batch_sizes=(4, 8), img_size=416, num_images=64,
@@ -165,8 +330,14 @@ def main():
     ap.add_argument("--protocol", action="store_true",
                     help="reference benchmark.py protocol -> "
                          "benchmark_res.csv (timing + mAP per batch)")
+    ap.add_argument("--configs", nargs="*", default=None,
+                    help="subset of {yolo640,retinanet640,frcnn640,"
+                         "yolo_lvis416,serving}; default: all five")
     ap.add_argument("--img-size", type=int, default=640)
     ap.add_argument("--batch-sizes", type=int, nargs="*", default=None)
+    ap.add_argument("--device-resident", action="store_true",
+                    help="pre-normalized device inputs (the round-1 "
+                         "metric) instead of uint8 H2D e2e")
     args = ap.parse_args()
 
     if args.protocol:
@@ -186,13 +357,39 @@ def main():
     else:
         sizes = (64,)
 
-    best, results = run(sizes, args.img_size)
-    print(json.dumps({
-        "metric": f"yolov3_{args.img_size}sq_e2e_inference_throughput",
+    wanted = args.configs or ["yolo640", "retinanet640", "frcnn640",
+                              "yolo_lvis416", "serving"]
+    if args.quick:
+        wanted = args.configs or ["yolo640"]
+    configs = {}
+    best, results = run(sizes, args.img_size,
+                        uint8=not args.device_resident)
+    configs["yolo640"] = {
         "value": round(best, 2),
+        "per_batch": {str(k): round(v, 2) for k, v in results.items()}}
+    if "retinanet640" in wanted:
+        configs["retinanet640"] = {"value": round(run_retinanet(), 2)}
+    if "frcnn640" in wanted:
+        configs["frcnn640"] = {"value": round(run_frcnn(), 2)}
+    if "yolo_lvis416" in wanted:
+        configs["yolo_lvis416"] = {"value": round(run_yolo_lvis(), 2)}
+    if "serving" in wanted:
+        try:
+            configs["serving"] = {"value": round(run_serving(), 2)}
+        except Exception as e:  # serving is the stretch config
+            configs["serving"] = {"error": str(e)[:200]}
+    for v in configs.values():
+        if "value" in v:
+            v["vs_baseline"] = round(v["value"] / PER_CHIP_TARGET, 4)
+
+    print(json.dumps({
+        "metric": f"yolov3_{args.img_size}sq_e2e_uint8_throughput",
+        "value": configs["yolo640"]["value"],
         "unit": "images/sec/chip",
-        "vs_baseline": round(best / PER_CHIP_TARGET, 4),
-        "per_batch": {str(k): round(v, 2) for k, v in results.items()},
+        "vs_baseline": configs["yolo640"]["vs_baseline"],
+        "configs": configs,
+        "e2e": ("uint8 H2D + on-device normalize in the timed loop"
+                if not args.device_resident else "device-resident"),
         "device": str(jax.devices()[0].platform),
     }))
 

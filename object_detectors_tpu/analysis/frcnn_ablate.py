@@ -6,7 +6,7 @@ Times cumulative pipeline prefixes (backbone -> +rpn -> +filter ->
 BASELINE.md methodology). Identifies the stage to optimize for
 VERDICT r1 item 2 (41 -> >=300 img/s/chip).
 
-Usage: python analysis/frcnn_ablate.py [--bs 8] [--size 640] [--f32]
+Usage: python -m object_detectors_tpu.analysis.frcnn_ablate [--bs 8]
 """
 
 from __future__ import annotations
@@ -19,8 +19,8 @@ import numpy as np
 import jax
 
 jax.config.update("jax_compilation_cache_dir", os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    ".jax_cache"))
+    os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp  # noqa: E402

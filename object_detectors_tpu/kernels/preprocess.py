@@ -76,3 +76,23 @@ def preprocess_images(images, out_dtype=jnp.bfloat16):
         except Exception:  # pragma: no cover — compile fallback
             pass
     return preprocess_images_xla(images, out_dtype)
+
+
+@partial(jax.jit, static_argnames=("out_hw", "out_dtype", "antialias"))
+def resize_normalize_images(images: jnp.ndarray, out_hw: tuple,
+                            out_dtype=jnp.bfloat16,
+                            antialias: bool = False) -> jnp.ndarray:
+    """Fused on-device resize + normalize: uint8 [B, H0, W0, 3] ->
+    bilinear resize to out_hw -> /255 -> ImageNet normalize -> out_dtype,
+    one jitted program (XLA lowers the separable bilinear resize to two
+    contractions that run on the MXU; the normalize fuses into the
+    epilogue). This moves the reference's host cv2 resize
+    (`transformations.py:29`) on-device — only JPEG *decode* stays on the
+    host (no decode hardware on TPU). BASELINE.json north-star item."""
+    b, h0, w0, c = images.shape
+    x = images.astype(jnp.float32)
+    x = jax.image.resize(x, (b, out_hw[0], out_hw[1], c), "bilinear",
+                         antialias=antialias)
+    x = (x * (1.0 / 255.0) - jnp.asarray(_MEAN)) \
+        / jnp.asarray(_STD)
+    return x.astype(out_dtype)

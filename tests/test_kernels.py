@@ -54,3 +54,28 @@ def test_nms_pallas_respects_valid_mask():
                        interpret=True)
     kept = np.asarray(ki)[np.asarray(v)].tolist()
     assert kept == [1, 2]
+
+
+def test_resize_normalize_images_matches_host_pipeline():
+    """On-device fused resize+normalize == host cv2-style resize followed
+    by normalize (within bilinear tolerance)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from object_detectors_tpu.kernels.preprocess import (
+        resize_normalize_images)
+    from object_detectors_tpu.data.transforms import (
+        IMAGENET_MEAN, IMAGENET_STD)
+
+    rng = np.random.RandomState(0)
+    u8 = rng.randint(0, 255, (2, 64, 48, 3), dtype=np.uint8)
+    out = np.asarray(resize_normalize_images(
+        jnp.asarray(u8), (32, 24), jnp.float32))
+    assert out.shape == (2, 32, 24, 3)
+    # reference path: jax.image.resize on floats then normalize
+    import jax
+    ref = np.asarray(jax.image.resize(
+        jnp.asarray(u8, jnp.float32), (2, 32, 24, 3), "bilinear",
+        antialias=False))  # cv2 INTER_LINEAR semantics: no antialias
+    ref = (ref / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+    assert np.isfinite(out).all()
