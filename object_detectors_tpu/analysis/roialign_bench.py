@@ -1,0 +1,101 @@
+"""Multiscale RoIAlign microbenchmark on the real chip.
+
+Compares the candidate pooler implementations at the Faster R-CNN eval
+shape (bs x 1000 RoIs, FPN 256ch, 640^2 canvas) plus a `noop` stage that
+measures the relay's fixed per-iteration host-read sync cost — subtract
+it from every number (BASELINE.md methodology).
+
+Usage: python -m object_detectors_tpu.analysis.roialign_bench [--bs 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+
+from object_detectors_tpu.ops import roi_align as R  # noqa: E402
+
+
+def time_fn(fn, *args, warmup=2, iters=8):
+    jf = jax.jit(fn)
+    for _ in range(warmup):
+        float(jf(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        s = float(jf(*args))
+    dt = (time.perf_counter() - t0) / iters
+    del s
+    return dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bs", type=int, default=8)
+    ap.add_argument("--rois", type=int, default=1000)
+    ap.add_argument("--size", type=int, default=640)
+    ap.add_argument("--ch", type=int, default=256)
+    ap.add_argument("--variants", nargs="*", default=None)
+    args = ap.parse_args()
+
+    rng = np.random.RandomState(0)
+    feats = tuple(
+        jnp.asarray(rng.randn(args.bs, args.size // st, args.size // st,
+                              args.ch).astype(np.float32),
+                    jnp.bfloat16)
+        for st in (4, 8, 16, 32))
+    xy = rng.rand(args.bs, args.rois, 2) * (args.size - 40)
+    wh = rng.rand(args.bs, args.rois, 2) * 300 + 8
+    boxes = jnp.asarray(
+        np.clip(np.concatenate([xy, xy + wh], -1), 0, args.size)
+        .astype(np.float32))
+    img = (args.size, args.size)
+
+    def noop(fs, bx):
+        return jnp.sum(bx) + sum(jnp.sum(f[0, 0, 0]. astype(jnp.float32))
+                                 for f in fs)
+
+    def run_variant(pool):
+        def f(fs, bx):
+            out = jax.vmap(
+                lambda ff, bb: pool(ff, bb, img, (7, 7)))(fs, bx)
+            return jnp.sum(out.astype(jnp.float32))
+        return f
+
+    from object_detectors_tpu.kernels.roi_align_pallas import (
+        multiscale_roi_align_hybrid, multiscale_roi_align_pallas,
+    )
+
+    def pallas_fn(fs, bx):
+        return jnp.sum(multiscale_roi_align_pallas(fs, bx, img, (7, 7)))
+
+    def hybrid_fn(fs, bx):
+        return jnp.sum(multiscale_roi_align_hybrid(fs, bx, img, (7, 7)))
+
+    variants = {
+        "noop": noop,
+        "flat": run_variant(R.multiscale_roi_align_flat),
+        "canvas": run_variant(R.multiscale_roi_align_canvas),
+        "pallas": pallas_fn,
+        "hybrid": hybrid_fn,
+    }
+    for name, fn in variants.items():
+        if args.variants and name not in args.variants:
+            continue
+        dt = time_fn(fn, feats, boxes)
+        print(f"{name:8s} {dt*1e3:8.2f} ms  "
+              f"({args.bs*args.rois/dt/1e6:.2f} M rois/s)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,277 @@
+"""Pallas multiscale RoIAlign — per-RoI window DMA + on-core bilinear.
+
+Replaces the XLA gather formulation (`ops/roi_align.py`) for the hot
+Faster/Mask R-CNN pooling path. XLA lowers the bilinear sampling to
+~200 row-gathers per RoI; the TPU gather engine issues those at ~30ns
+per index row, so pooling 8x1000 RoIs costs ~50-100ms. This kernel
+instead DMAs ONE contiguous [WIN, WINX, C] feature window per RoI into
+VMEM (double-buffered, column origin 8-aligned for the sublane tiling)
+and interpolates on the VPU with weights computed on the scalar core
+from 6 prefetched floats per RoI.
+
+Window coverage: the FPN level mapper bounds sqrt(cell area) by 28, so
+only aspect-extreme RoIs can span more than WIN-2 cells on one axis
+(never both). Those overflow RoIs are repooled EXACTLY outside the
+kernel by :func:`multiscale_roi_align_hybrid` via the XLA canvas gather
+on a static per-image capacity (beyond capacity they degrade to
+window-edge-clamped sampling — a documented approximation for >4:1
+degenerate boxes past the 32-per-image budget).
+
+Semantics match torchvision MultiScaleRoIAlign (aligned=False,
+sampling_ratio=2, canonical 224/level-4 mapper) — parity with
+`torchvision_models/tvision/roi_heads.py:149` / `frcnn.py:207-211`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from object_detectors_tpu.ops.roi_align import (
+    _infer_scale, assign_fpn_levels, multiscale_roi_align_canvas,
+)
+
+WIN = 32   # window rows (row starts are unconstrained)
+WINX = 40  # window cols: 32 usable + 8 slack for the aligned origin
+
+
+def _axis_sample(k, origin, bin_sz, limit, srat):
+    """Sample k (of oh*srat) along one axis, ABSOLUTE level coords ->
+    (a, b, wa, wb): corner cells (f32) + bilinear weights, zeroed for
+    outside-image samples (torchvision bilinear_interpolate)."""
+    i = k // srat
+    r = (k % srat + 0.5) / srat
+    pos = origin + (i + r) * bin_sz
+    inside = jnp.where((pos >= -1.0) & (pos <= limit), 1.0, 0.0)
+    p = jnp.clip(pos, 0.0, limit - 1.0)
+    a = jnp.floor(p)
+    frac = p - a
+    b = jnp.minimum(a + 1.0, limit - 1.0)
+    return a, b, (1.0 - frac) * inside, frac * inside
+
+
+def _roi_align_kernel(wins_ref, geom_ref, canvas_ref, out_ref,
+                      win_buf, t2_buf, sems, *, n_rois, c, oh, ow, srat):
+    """One grid step = one RoI. wins_ref [N*2] i32 SMEM (canvas window
+    row, 8-aligned window col); geom_ref [N*8] f32 SMEM (y1, x1, bin_h,
+    bin_w, H_l, W_l, win_row_rel, win_col_rel_aligned) — flattened 1D
+    because SMEM pads the minor dim of 2D arrays to 128 lanes."""
+    n = pl.program_id(0)
+    slot = jax.lax.rem(n, 2)
+    ns = oh * srat
+
+    def dma(i, s):
+        row = wins_ref[2 * i]
+        col = pl.multiple_of(wins_ref[2 * i + 1], 8)
+        return pltpu.make_async_copy(
+            canvas_ref.at[pl.ds(row, WIN), pl.ds(col, WINX), :],
+            win_buf.at[s], sems.at[s])
+
+    @pl.when(n == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(n + 1 < n_rois)
+    def _():
+        dma(n + 1, jax.lax.rem(n + 1, 2)).start()
+
+    dma(n, slot).wait()
+
+    y1 = geom_ref[8 * n]
+    x1 = geom_ref[8 * n + 1]
+    bin_h = geom_ref[8 * n + 2]
+    bin_w = geom_ref[8 * n + 3]
+    hl = geom_ref[8 * n + 4]
+    wl = geom_ref[8 * n + 5]
+    wr = geom_ref[8 * n + 6]
+    wc = geom_ref[8 * n + 7]
+
+    def rel(k, origin, bin_sz, limit, worigin, width):
+        a_abs, b_abs, wa, wb = _axis_sample(k, origin, bin_sz, limit,
+                                            srat)
+        a = jnp.clip(a_abs - worigin, 0.0, width - 1.0).astype(jnp.int32)
+        b = jnp.clip(b_abs - worigin, 0.0, width - 1.0).astype(jnp.int32)
+        return a, b, wa, wb
+
+    # stage 1 — y interpolation: t2[cols, k, :] per y-sample k
+    for k in range(ns):
+        ya, yb, wa, wb = rel(k, y1, bin_h, hl, wr, WIN)
+        rows = (win_buf[slot, ya].astype(jnp.float32) * wa
+                + win_buf[slot, yb].astype(jnp.float32) * wb)
+        t2_buf[:, k, :] = rows                         # [WINX(cols), C]
+
+    # stage 2 — x interpolation + srat x srat bin average
+    inv = 1.0 / (srat * srat)
+    cols = []
+    for j in range(ow):
+        folded = jnp.zeros((oh, c), jnp.float32)
+        for r in range(srat):
+            k = j * srat + r
+            xa, xb, wa, wb = rel(k, x1, bin_w, wl, wc, WINX)
+            v = t2_buf[xa] * wa + t2_buf[xb] * wb      # [ns(y), C]
+            folded = folded + v.reshape(oh, srat, c).sum(axis=1)
+        cols.append(folded * inv)
+    out_ref[0] = jnp.stack(cols, axis=1)               # [oh, ow, C]
+
+
+def _prep(features, boxes, image_size, oh, ow, s):
+    """Shared geometry: canvas + per-roi window descriptors.
+
+    Returns (canvas, wins [M,2] i32, geom [M,8] f32, overflow [M] bool)
+    with M = B*N rois flattened."""
+    bsz = boxes.shape[0]
+    n = boxes.shape[1]
+    num_levels = len(features)
+    c = features[0].shape[-1]
+    w_max = max(max(f.shape[2] for f in features), WINX)
+
+    per_img_rows = sum(f.shape[1] for f in features)
+    canvas = jnp.concatenate([
+        jnp.pad(f, ((0, 0), (0, 0), (0, w_max - f.shape[2]), (0, 0)))
+        for f in features], axis=1)                    # [B, R, Wmax, C]
+    canvas = canvas.reshape(bsz * per_img_rows, w_max, c)
+    canvas = jnp.pad(canvas, ((0, WIN), (0, 0), (0, 0)))
+
+    heights = jnp.asarray([f.shape[1] for f in features], jnp.float32)
+    widths = jnp.asarray([f.shape[2] for f in features], jnp.float32)
+    row_off = jnp.asarray(
+        np.cumsum([0] + [f.shape[1] for f in features])[:-1], jnp.int32)
+    scales = jnp.asarray(
+        [_infer_scale(f.shape[1:3], image_size) for f in features],
+        jnp.float32)
+
+    flat_boxes = boxes.reshape(-1, 4)
+    levels = assign_fpn_levels(flat_boxes, num_levels)
+    hl = heights[levels]
+    wl = widths[levels]
+    scale = scales[levels]
+    img_of = (jnp.arange(bsz * n, dtype=jnp.int32) // n) * per_img_rows
+    base_row = row_off[levels] + img_of
+
+    b = flat_boxes * scale[:, None]
+    x1, y1 = b[:, 0], b[:, 1]
+    roi_w = jnp.maximum(b[:, 2] - x1, 1.0)
+    roi_h = jnp.maximum(b[:, 3] - y1, 1.0)
+    bin_h = roi_h / oh
+    bin_w = roi_w / ow
+
+    first_y = y1 + (0.5 / s) * bin_h
+    first_x = x1 + (0.5 / s) * bin_w
+    f0y = jnp.floor(jnp.clip(first_y, 0.0, hl - 1.0))
+    f0x = jnp.floor(jnp.clip(first_x, 0.0, wl - 1.0))
+    win_row = jnp.clip(f0y, 0.0, jnp.maximum(hl - WIN, 0.0))
+    # column origin aligned DOWN to the sublane tile (8)
+    win_col = jnp.floor(
+        jnp.clip(f0x, 0.0, jnp.maximum(wl - WINX, 0.0)) / 8.0) * 8.0
+
+    span = (oh - 1 + (s - 0.5) / s - 0.5 / s)  # sample span in bins
+
+    def overflow(first, o_rel, bin_sz, lim, width):
+        last = first + span * bin_sz
+        b_last = jnp.minimum(
+            jnp.floor(jnp.clip(last, 0.0, lim - 1.0)) + 1.0, lim - 1.0)
+        return b_last - o_rel > width - 1.0
+
+    ovr = (overflow(first_y, win_row, bin_h, hl, WIN)
+           | overflow(first_x, win_col, bin_w, wl, WINX))
+
+    # 1D-flattened descriptors: 2D SMEM prefetch arrays are lane-padded
+    # to 128 columns (v5e SMEM is only 1 MiB)
+    wins = jnp.stack([base_row + win_row.astype(jnp.int32),
+                      win_col.astype(jnp.int32)], axis=-1).reshape(-1)
+    geom = jnp.stack([y1, x1, bin_h, bin_w, hl, wl, win_row, win_col],
+                     axis=-1).reshape(-1)
+    return canvas, wins, geom, ovr
+
+
+@partial(jax.jit, static_argnames=("output_size", "sampling_ratio",
+                                   "image_size", "interpret"))
+def multiscale_roi_align_pallas(
+    features: Sequence[jnp.ndarray],   # per level [B, H_l, W_l, C]
+    boxes: jnp.ndarray,                # [B, N, 4] xyxy image coords
+    image_size: tuple,
+    output_size: tuple = (7, 7),
+    sampling_ratio: int = 2,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """-> [B, N, oh, ow, C] f32. Window-clamped for overflow RoIs (use
+    :func:`multiscale_roi_align_hybrid` for exact handling)."""
+    bsz, n = boxes.shape[:2]
+    c = features[0].shape[-1]
+    oh, ow = output_size
+    s = sampling_ratio
+    canvas, wins, geom, _ = _prep(features, boxes, image_size, oh, ow, s)
+
+    n_rois = bsz * n
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_rois,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, oh, ow, c), lambda i, *_: (i, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, WIN, WINX, c), canvas.dtype),
+            pltpu.VMEM((WINX, oh * s, c), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = partial(_roi_align_kernel, n_rois=n_rois, c=c, oh=oh, ow=ow,
+                     srat=s)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_rois, oh, ow, c), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(wins, geom, canvas)
+    return out.reshape(bsz, n, oh, ow, c)
+
+
+@partial(jax.jit, static_argnames=("output_size", "sampling_ratio",
+                                   "image_size", "interpret",
+                                   "fixup_capacity"))
+def multiscale_roi_align_hybrid(
+    features: Sequence[jnp.ndarray],   # per level [B, H_l, W_l, C]
+    boxes: jnp.ndarray,                # [B, N, 4]
+    image_size: tuple,
+    output_size: tuple = (7, 7),
+    sampling_ratio: int = 2,
+    fixup_capacity: int = 32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Pallas windows for the bulk + exact XLA-gather repool of up to
+    ``fixup_capacity`` window-overflow RoIs per image. Bitwise-matches
+    the reference pooler whenever an image has <= capacity extreme-
+    aspect RoIs (virtually always)."""
+    bsz, n = boxes.shape[:2]
+    oh, ow = output_size
+    s = sampling_ratio
+    out = multiscale_roi_align_pallas(
+        features, boxes, image_size, output_size, s, interpret=interpret)
+    if fixup_capacity <= 0:
+        return out
+
+    _, _, _, ovr = _prep(features, boxes, image_size, oh, ow, s)
+    ovr = ovr.reshape(bsz, n)
+    k = min(fixup_capacity, n)
+    _, idx = jax.lax.top_k(ovr.astype(jnp.float32), k)   # [B, k]
+    sel_ovr = jnp.take_along_axis(ovr, idx, axis=1)      # [B, k]
+    sel_boxes = jnp.take_along_axis(
+        boxes, idx[..., None], axis=1)                   # [B, k, 4]
+
+    fix = jax.vmap(
+        lambda fs, bx: multiscale_roi_align_canvas(
+            fs, bx, image_size, output_size, s)
+    )(features, sel_boxes)                               # [B, k, oh, ow, C]
+    fix = fix.astype(out.dtype)
+
+    orig = jnp.take_along_axis(
+        out, idx[..., None, None, None], axis=1)
+    mixed = jnp.where(sel_ovr[..., None, None, None], fix, orig)
+    bi = jnp.arange(bsz)[:, None]
+    return out.at[bi, idx].set(mixed)

@@ -101,26 +101,45 @@ def filter_proposals(
     proposals = jax.lax.stop_gradient(proposals)
 
     def per_image(props, obj):
-        sel_boxes, sel_scores, sel_levels = [], [], []
+        # Per-level top-k, stacked [L, pre_n] with -inf padding where a
+        # level has fewer anchors. NMS is independent per level
+        # (torchvision batched_nms over level ids), so running the
+        # fixed-point NMS level-parallel is exact AND shrinks the IoU
+        # problem from [sum_l k_l]^2 to L x [pre_n]^2.
+        sel_boxes, sel_scores = [], []
         start = 0
-        for lvl, ls in enumerate(level_sizes):
+        for ls in level_sizes:
             ob = jax.lax.dynamic_slice_in_dim(obj, start, ls, 0)
             pr = jax.lax.dynamic_slice_in_dim(props, start, ls, 0)
             k = min(pre_n, ls)
             topv, topi = jax.lax.top_k(ob, k)
+            if k < pre_n:
+                topv = jnp.concatenate(
+                    [topv, jnp.full((pre_n - k,), -jnp.inf, topv.dtype)])
+                topi = jnp.concatenate(
+                    [topi, jnp.zeros((pre_n - k,), topi.dtype)])
             sel_boxes.append(pr[topi])
             sel_scores.append(topv)
-            sel_levels.append(jnp.full((k,), lvl, jnp.int32))
             start += ls
-        boxes = jnp.concatenate(sel_boxes, 0)
-        scores = jax.nn.sigmoid(jnp.concatenate(sel_scores, 0))
-        levels = jnp.concatenate(sel_levels, 0)
+        boxes = jnp.stack(sel_boxes)                    # [L, pre_n, 4]
+        logits = jnp.stack(sel_scores)                  # [L, pre_n]
+        scores = jax.nn.sigmoid(logits)
 
         boxes = box_ops.clip_boxes_to_image(boxes, image_size)
         keep = box_ops.small_box_mask(boxes, cfg.min_size)
-        keep &= scores >= cfg.score_thresh
-        ob2, osc, olab, _, ovalid = N.batched_nms(
-            boxes, scores, levels, cfg.nms_thresh, post_n, keep)
+        keep &= (scores >= cfg.score_thresh) & jnp.isfinite(logits)
+
+        masked = jnp.where(keep, scores, -jnp.inf)
+        kept = jax.vmap(N._fixedpoint_keep, (0, 0, None))(
+            boxes, masked, cfg.nms_thresh)              # [L, pre_n]
+        # merge: post_nms_top_n over all levels' survivors by score
+        # (rpn.py:276-280 keeps batched_nms order then slices top-n)
+        flat_scores = jnp.where(kept, masked, -jnp.inf).reshape(-1)
+        topv, topi = jax.lax.top_k(flat_scores, post_n)
+        ovalid = jnp.isfinite(topv)
+        ob2 = jnp.where(ovalid[:, None],
+                        boxes.reshape(-1, 4)[topi], 0.0)
+        osc = jnp.where(ovalid, topv, 0.0)
         return ob2, osc, ovalid
 
     return jax.vmap(per_image)(proposals, objectness)

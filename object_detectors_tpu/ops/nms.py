@@ -99,13 +99,72 @@ def _select_max_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
     return out_idx, out_valid
 
 
-@partial(jax.jit, static_argnames=("iou_threshold", "max_output"))
+def _fixedpoint_keep(boxes: jnp.ndarray, scores: jnp.ndarray,
+                     iou_threshold: float) -> jnp.ndarray:
+    """Exact greedy-NMS kept set via self-suppression fixed point.
+
+    Greedy NMS is the unique fixed point of
+    ``kept = alive & ~(exists earlier kept with IoU > thr)`` (unique by
+    induction in score order; the suppression graph is a DAG so iterating
+    from ``kept = alive`` converges in longest-chain-depth steps, detected
+    by a while_loop). Each iteration is ONE [N, N] @ [N] masked matvec —
+    tens of MXU-friendly steps instead of the O(K) sequential top-k
+    selection of :func:`_select_max_nms`; this is what makes 1000-output
+    RPN NMS fast on TPU.
+
+    scores: -inf marks invalid. Returns kept mask in INPUT order.
+    """
+    n = boxes.shape[0]
+    order = jnp.argsort(-scores)  # stable: score desc, ties by index
+    b = boxes[order]
+    s = scores[order]
+    alive = jnp.isfinite(s)
+    iou = box_ops.pairwise_iou(b, b)
+    idx = jnp.arange(n)
+    sup = ((iou > iou_threshold) & (idx[None, :] < idx[:, None])
+           & alive[None, :] & alive[:, None])
+    supf = sup.astype(jnp.bfloat16)
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < n)
+
+    def body(state):
+        kept, _, it = state
+        suppressed = (supf @ kept.astype(jnp.bfloat16)) > 0.5
+        new_kept = alive & ~suppressed
+        return new_kept, jnp.any(new_kept != kept), it + 1
+
+    kept, _, _ = jax.lax.while_loop(
+        cond, body, (alive, jnp.array(True), jnp.zeros((), jnp.int32)))
+    return jnp.zeros((n,), bool).at[order].set(kept)
+
+
+def _fixedpoint_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
+                    iou_threshold: float, max_output: int):
+    """(keep_idx [K], valid [K]) — same contract as _select_max_nms, kept
+    entries in score-descending order (the greedy order), via the
+    fixed-point kept set + one top-k over survivors."""
+    kept = _fixedpoint_keep(boxes, scores, iou_threshold)
+    k = min(max_output, boxes.shape[0])
+    topv, topi = jax.lax.top_k(jnp.where(kept, scores, -jnp.inf), k)
+    out_valid = jnp.isfinite(topv)
+    if k < max_output:  # pad to the static output size
+        topi = jnp.concatenate(
+            [topi, jnp.zeros((max_output - k,), topi.dtype)])
+        out_valid = jnp.concatenate(
+            [out_valid, jnp.zeros((max_output - k,), bool)])
+    return topi.astype(jnp.int32), out_valid
+
+
+@partial(jax.jit, static_argnames=("iou_threshold", "max_output", "method"))
 def nms(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
     iou_threshold: float = 0.5,
     max_output: int = 100,
     valid: jnp.ndarray | None = None,
+    method: str = "auto",
 ):
     """Greedy NMS with fixed-size output.
 
@@ -116,13 +175,24 @@ def nms(
         keeps IoU < thr and votes IoU > thr; equality is kept).
       max_output: static output size K.
       valid: optional [N] bool; invalid entries never selected.
+      method: "block" (sequential blocked select-max), "fixedpoint"
+        (self-suppression iteration — fastest when max_output is large,
+        e.g. RPN's 1000-proposal NMS), or "auto".
 
     Returns:
       (boxes [K,4], scores [K], keep_idx [K] into the input, valid [K]).
     """
     s = scores if valid is None else jnp.where(valid, scores, -jnp.inf)
-    keep_idx, out_valid = _select_max_nms(boxes, s, iou_threshold,
-                                          max_output)
+    if method == "auto":
+        # the blocked loop runs ~K/3 sequential steps; the fixed point
+        # ~chain-depth matvecs. Large K → fixed point wins.
+        method = "fixedpoint" if max_output >= 128 else "block"
+    if method == "fixedpoint":
+        keep_idx, out_valid = _fixedpoint_nms(boxes, s, iou_threshold,
+                                              max_output)
+    else:
+        keep_idx, out_valid = _select_max_nms(boxes, s, iou_threshold,
+                                              max_output)
     idx_c = jnp.clip(keep_idx, 0)
     out_boxes = jnp.where(out_valid[:, None], boxes[idx_c], 0.0)
     out_scores = jnp.where(out_valid, s[idx_c], 0.0)
@@ -130,7 +200,7 @@ def nms(
     return out_boxes, out_scores, keep_idx, out_valid
 
 
-@partial(jax.jit, static_argnames=("iou_threshold", "max_output"))
+@partial(jax.jit, static_argnames=("iou_threshold", "max_output", "method"))
 def batched_nms(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
@@ -138,6 +208,7 @@ def batched_nms(
     iou_threshold: float = 0.5,
     max_output: int = 100,
     valid: jnp.ndarray | None = None,
+    method: str = "auto",
 ):
     """Class-aware NMS via the coordinate-offset trick
     (torchvision.ops.batched_nms semantics — boxes of different classes are
@@ -147,7 +218,7 @@ def batched_nms(
     offsets = class_ids.astype(boxes.dtype)[:, None] * (max_coord + 1.0)
     shifted = boxes + offsets
     ob, osc, keep_idx, ovalid = nms(
-        shifted, scores, iou_threshold, max_output, valid)
+        shifted, scores, iou_threshold, max_output, valid, method)
     # Return original (un-shifted) boxes and the surviving labels.
     idx_c = jnp.clip(keep_idx, 0)
     out_boxes = jnp.where(ovalid[:, None], boxes[idx_c], 0.0)
@@ -155,7 +226,72 @@ def batched_nms(
     return out_boxes, osc, out_labels, keep_idx, ovalid
 
 
-@partial(jax.jit, static_argnames=("iou_threshold", "max_output", "num_classes"))
+def _majority_nms_fixedpoint(boxes, scores, labels_in, num_classes,
+                             iou_threshold, max_output):
+    """Majority-vote NMS via the fixed-point kept set + post-hoc cluster
+    assignment. Exactly reproduces the sequential scan: a suppressed box
+    belongs to the cluster of the FIRST kept box (score order) that
+    overlaps it > thr — that is the step where the scan removed it.
+
+    scores: -inf marks invalid. Returns (boxes, scores, labels, valid)
+    shaped [max_output]."""
+    n = boxes.shape[0]
+    order = jnp.argsort(-scores)
+    b = boxes[order]
+    s = scores[order]
+    lab = labels_in[order]
+    alive = jnp.isfinite(s)
+    iou = box_ops.pairwise_iou(b, b)
+    idx = jnp.arange(n)
+    # class-AGNOSTIC suppression (majority NMS ignores labels for overlap)
+    earlier = idx[None, :] < idx[:, None]          # [j, i]: i before j
+    over = (iou > iou_threshold) & earlier & alive[:, None] & alive[None, :]
+    supf = over.astype(jnp.bfloat16)
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < n)
+
+    def body(state):
+        kept, _, it = state
+        suppressed = (supf @ kept.astype(jnp.bfloat16)) > 0.5
+        new_kept = alive & ~suppressed
+        return new_kept, jnp.any(new_kept != kept), it + 1
+
+    kept, _, _ = jax.lax.while_loop(
+        cond, body, (alive, jnp.array(True), jnp.zeros((), jnp.int32)))
+
+    # cluster assignment: first kept i (smallest sorted index) with
+    # over[j, i]; every suppressed alive box has one (else it'd be kept)
+    cand = over & kept[None, :]                    # [j, i]
+    first_i = jnp.argmax(cand.astype(jnp.int32)
+                         * (n - idx)[None, :], axis=1)
+    assigned = ~kept & alive & jnp.any(cand, axis=1)
+    counts = jnp.zeros((n, num_classes), jnp.int32).at[
+        first_i, jnp.clip(lab, 0, num_classes - 1)
+    ].add(assigned.astype(jnp.int32), mode="drop")
+    n_unique = jnp.sum(counts > 0, axis=1)
+    majority = jnp.argmax(counts, axis=1).astype(lab.dtype)
+    out_lab = jnp.where(kept & (n_unique > 1), majority, lab)
+
+    k = min(max_output, n)
+    topv, topi = jax.lax.top_k(jnp.where(kept, s, -jnp.inf), k)
+    out_valid = jnp.isfinite(topv)
+    if k < max_output:
+        topi = jnp.concatenate(
+            [topi, jnp.zeros((max_output - k,), topi.dtype)])
+        topv = jnp.concatenate(
+            [topv, jnp.full((max_output - k,), -jnp.inf, topv.dtype)])
+        out_valid = jnp.concatenate(
+            [out_valid, jnp.zeros((max_output - k,), bool)])
+    out_boxes = jnp.where(out_valid[:, None], b[topi], 0.0)
+    out_scores = jnp.where(out_valid, topv, 0.0)
+    out_labels = jnp.where(out_valid, out_lab[topi], -1)
+    return out_boxes, out_scores, out_labels, out_valid
+
+
+@partial(jax.jit, static_argnames=("iou_threshold", "max_output",
+                                   "num_classes", "method"))
 def nms_majority(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
@@ -164,6 +300,7 @@ def nms_majority(
     iou_threshold: float = 0.6,
     max_output: int = 100,
     valid: jnp.ndarray | None = None,
+    method: str = "auto",
 ):
     """Majority-vote NMS (`yolo/utilities/helper.py:280-382`).
 
@@ -178,6 +315,11 @@ def nms_majority(
     n = boxes.shape[0]
     s = scores if valid is None else jnp.where(valid, scores, -jnp.inf)
     labels_in = class_ids.astype(jnp.int32)
+    if method == "auto":
+        method = "fixedpoint" if max_output >= 128 else "scan"
+    if method == "fixedpoint":
+        return _majority_nms_fixedpoint(boxes, s, labels_in, num_classes,
+                                        iou_threshold, max_output)
     iou = box_ops.pairwise_iou(boxes, boxes)
     col = jnp.arange(n)
 

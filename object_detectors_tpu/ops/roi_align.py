@@ -146,6 +146,120 @@ def multiscale_roi_align(
 
 @partial(jax.jit, static_argnames=("output_size", "sampling_ratio",
                                    "image_size"))
+def multiscale_roi_align_canvas(
+    features: Sequence[jnp.ndarray],   # per level [H_l, W_l, C]
+    boxes: jnp.ndarray,                # [N, 4] xyxy image coords
+    image_size: tuple,
+    output_size: tuple = (7, 7),
+    sampling_ratio: int = 2,
+) -> jnp.ndarray:
+    """Exact multiscale RoIAlign tuned for the TPU gather path.
+
+    Levels are stacked into ONE [sum H_l, W_max, C] canvas (rows
+    concatenated, columns zero-padded to the widest level). Each bilinear
+    sample then needs two (row, x0:x0+2, :) slice-gathers — contiguous
+    2*C-element runs — instead of four scattered single-row gathers, and
+    all interpolation math stays in the feature dtype (bf16). This is the
+    production Faster/Mask R-CNN pooler; semantics identical to
+    :func:`multiscale_roi_align_flat` (torchvision MultiScaleRoIAlign,
+    aligned=False, frcnn.py:207-211).
+    """
+    num_levels = len(features)
+    c = features[0].shape[-1]
+    oh, ow = output_size
+    s = sampling_ratio
+    n = boxes.shape[0]
+    ft = features[0].dtype
+    w_max = max(f.shape[1] for f in features)
+
+    canvas = jnp.concatenate([
+        jnp.pad(f, ((0, 0), (0, w_max - f.shape[1]), (0, 0)))
+        for f in features], axis=0)                 # [R, Wmax, C]
+    heights = jnp.asarray([f.shape[0] for f in features], jnp.float32)
+    widths = jnp.asarray([f.shape[1] for f in features], jnp.float32)
+    row_off = jnp.asarray(
+        np.cumsum([0] + [f.shape[0] for f in features])[:-1], jnp.int32)
+    scales = jnp.asarray(
+        [_infer_scale(f.shape[:2], image_size) for f in features],
+        jnp.float32)
+
+    levels = assign_fpn_levels(boxes, num_levels)
+    lh = heights[levels]
+    lw = widths[levels]
+    scale = scales[levels]
+    base_row = row_off[levels]                      # [N]
+
+    b = boxes * scale[:, None]
+    x1, y1, x2, y2 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+    roi_w = jnp.maximum(x2 - x1, 1.0)
+    roi_h = jnp.maximum(y2 - y1, 1.0)
+    bin_w = roi_w / ow
+    bin_h = roi_h / oh
+
+    iy = jnp.arange(oh, dtype=jnp.float32)
+    ix = jnp.arange(ow, dtype=jnp.float32)
+    ky = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
+    ys = (y1[:, None, None]
+          + (iy[None, :, None] + ky[None, None, :]) * bin_h[:, None, None])
+    xs = (x1[:, None, None]
+          + (ix[None, :, None] + ky[None, None, :]) * bin_w[:, None, None])
+    # broadcast to the full sample grid [N, oh, ow, s, s]
+    ys_g = jnp.broadcast_to(ys[:, :, None, :, None], (n, oh, ow, s, s))
+    xs_g = jnp.broadcast_to(xs[:, None, :, None, :], (n, oh, ow, s, s))
+
+    hh = lh[:, None, None, None, None]
+    ww = lw[:, None, None, None, None]
+    outside = (ys_g < -1.0) | (ys_g > hh) | (xs_g < -1.0) | (xs_g > ww)
+    y = jnp.clip(ys_g, 0.0, hh - 1)
+    x = jnp.clip(xs_g, 0.0, ww - 1)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y1i = jnp.minimum(y0 + 1, (hh - 1).astype(jnp.int32))
+    x1i = jnp.minimum(x0 + 1, (ww - 1).astype(jnp.int32))
+    # 2x2 slice start: stays inside the level (rows never cross into the
+    # next level because ys0+1 <= H_l-1; cols never read the zero pad)
+    ys0 = jnp.minimum(y0, (hh - 2).astype(jnp.int32))
+    xs0 = jnp.minimum(x0, (ww - 2).astype(jnp.int32))
+    oy0 = y0 - ys0                                   # 0 or 1
+    oy1 = y1i - ys0
+    ox0 = x0 - xs0
+    ox1 = x1i - xs0
+    ly = (y - y0)[..., None]          # f32 interpolation weights
+    lx = (x - x0)[..., None]
+
+    br = base_row[:, None, None, None, None]
+
+    # ONE (2, 2, C) slice-gather per bilinear sample — a contiguous
+    # 2-row window holding all four corners (gather cost on TPU is
+    # dominated by index-row count, not bytes).
+    idx = jnp.stack([(br + ys0).reshape(-1), xs0.reshape(-1)], axis=-1)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+        start_index_map=(0, 1))
+    g = jax.lax.gather(
+        canvas, idx, dn, slice_sizes=(2, 2, c),
+        mode=jax.lax.GatherScatterMode.CLIP)
+    g = g.reshape(n, oh, ow, s, s, 2, 2, c)
+
+    def corner(oy, ox):
+        row = jnp.where((oy == 0)[..., None, None], g[..., 0, :, :],
+                        g[..., 1, :, :])
+        return jnp.where((ox == 0)[..., None], row[..., 0, :],
+                         row[..., 1, :])
+
+    v00 = corner(oy0, ox0)
+    v01 = corner(oy0, ox1)
+    v10 = corner(oy1, ox0)
+    v11 = corner(oy1, ox1)
+
+    out = ((1.0 - ly) * (1.0 - lx) * v00 + (1.0 - ly) * lx * v01
+           + ly * (1.0 - lx) * v10 + ly * lx * v11)
+    out = jnp.where(outside[..., None], 0.0, out)
+    return jnp.mean(out, axis=(3, 4))
+
+
+@partial(jax.jit, static_argnames=("output_size", "sampling_ratio",
+                                   "image_size"))
 def multiscale_roi_align_flat(
     features: Sequence[jnp.ndarray],   # per level [H_l, W_l, C]
     boxes: jnp.ndarray,                # [N, 4] xyxy image coords

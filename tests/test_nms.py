@@ -157,3 +157,57 @@ def test_majority_nms_keeps_disjoint_boxes():
     )
     assert np.asarray(valid).sum() == 3
     assert np.asarray(olab)[np.asarray(valid)].tolist() == [1, 2, 3]
+
+
+def test_fixedpoint_nms_equals_blocked():
+    """The self-suppression fixed point must reproduce the blocked greedy
+    select-max exactly (same kept set, order, padding), including score
+    ties and invalid entries."""
+    rng = np.random.RandomState(7)
+    for trial in range(4):
+        n = 400
+        boxes = random_boxes(rng, n, 600.0)
+        scores = np.round(rng.rand(n).astype(np.float32), 2)  # ties
+        valid = rng.rand(n) > 0.15
+        for k in (50, 300):
+            for thr in (0.5, 0.7):
+                a = N.nms(jnp.asarray(boxes), jnp.asarray(scores), thr, k,
+                          jnp.asarray(valid), method="block")
+                b = N.nms(jnp.asarray(boxes), jnp.asarray(scores), thr, k,
+                          jnp.asarray(valid), method="fixedpoint")
+                for x, y in zip(a, b):
+                    np.testing.assert_array_equal(np.asarray(x),
+                                                  np.asarray(y))
+
+
+def test_fixedpoint_nms_matches_numpy_reference():
+    rng = np.random.RandomState(11)
+    boxes = random_boxes(rng, 300)
+    scores = rng.rand(300).astype(np.float32)
+    keep_ref = np_greedy_nms(boxes, scores, 0.5)[:100]
+    _, _, keep, v = N.nms(jnp.asarray(boxes), jnp.asarray(scores), 0.5,
+                          100, method="fixedpoint")
+    got = [int(i) for i, ok in zip(np.asarray(keep), np.asarray(v)) if ok]
+    assert got == keep_ref
+
+
+def test_majority_fixedpoint_equals_scan():
+    """Fixed-point majority NMS (post-hoc cluster vote) must reproduce
+    the sequential scan exactly, including score ties, relabeling, and
+    invalid padding."""
+    rng = np.random.RandomState(3)
+    for trial in range(4):
+        n = 250
+        boxes = random_boxes(rng, n, 300.0)
+        scores = np.round(rng.rand(n).astype(np.float32), 2)
+        labels = rng.randint(0, 20, n)
+        valid = rng.rand(n) > 0.1
+        for k in (100, 250):
+            a = N.nms_majority(jnp.asarray(boxes), jnp.asarray(scores),
+                               jnp.asarray(labels), 20, 0.5, k,
+                               jnp.asarray(valid), method="scan")
+            b = N.nms_majority(jnp.asarray(boxes), jnp.asarray(scores),
+                               jnp.asarray(labels), 20, 0.5, k,
+                               jnp.asarray(valid), method="fixedpoint")
+            for x, y in zip(a, b):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -109,3 +109,22 @@ def test_flat_multiscale_matches_per_level():
     b = np.asarray(RA.multiscale_roi_align_flat(
         feats, jnp.asarray(boxes), (256, 256), (7, 7)))
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_canvas_multiscale_matches_flat():
+    """multiscale_roi_align_canvas (contiguous pair-slice gathers on one
+    padded canvas — the production pooler) is numerically identical to
+    the flat variant, including image-edge and degenerate boxes."""
+    rng = np.random.RandomState(5)
+    feats = [jnp.asarray(rng.rand(64 // k, 64 // k, 8).astype(np.float32))
+             for k in (1, 2, 4, 8)]
+    xy = rng.rand(64, 2) * 220
+    wh = rng.rand(64, 2) * ((rng.rand(64, 1) > 0.5) * 200 + 10)
+    boxes = np.clip(np.concatenate([xy, xy + wh], 1), 0,
+                    256).astype(np.float32)
+    boxes[:3] = [[0, 0, 256, 256], [255, 255, 256, 256], [0, 0, 1, 256]]
+    a = np.asarray(RA.multiscale_roi_align_flat(
+        feats, jnp.asarray(boxes), (256, 256), (7, 7)))
+    b = np.asarray(RA.multiscale_roi_align_canvas(
+        feats, jnp.asarray(boxes), (256, 256), (7, 7)))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
