@@ -33,9 +33,7 @@ from object_detectors_tpu.models.resnet import (  # noqa: E402
     BackboneWithFPN, ResNet,
 )
 from object_detectors_tpu.ops import boxes as box_ops  # noqa: E402
-from object_detectors_tpu.ops.roi_align import (  # noqa: E402
-    multiscale_roi_align_flat as multiscale_roi_align,
-)
+from object_detectors_tpu.ops.roi_align import pool_multiscale  # noqa: E402
 
 
 def build_stages(size, dtype):
@@ -88,14 +86,14 @@ def build_stages(size, dtype):
 
     def plus_roialign(images):
         feats, pb, pv = _through_filter(images)
-        pooled = jax.vmap(lambda fs, bx: multiscale_roi_align(
-            fs, bx, images.shape[1:3], (7, 7)))(tuple(feats[:4]), pb)
+        pooled = pool_multiscale(tuple(feats[:4]), pb, images.shape[1:3],
+                                 (7, 7))
         return jnp.sum(pooled.astype(jnp.float32))
 
     def plus_heads(images):
         feats, pb, pv = _through_filter(images)
-        pooled = jax.vmap(lambda fs, bx: multiscale_roi_align(
-            fs, bx, images.shape[1:3], (7, 7)))(tuple(feats[:4]), pb)
+        pooled = pool_multiscale(tuple(feats[:4]), pb, images.shape[1:3],
+                                 (7, 7))
         h = RH.TwoMLPHead(1024, dtype=dtype).apply(headv, pooled)
         lg, rg = RH.FastRCNNPredictor(91, dtype=dtype).apply(predv, h)
         return jnp.sum(lg.astype(jnp.float32))
@@ -109,15 +107,17 @@ def build_stages(size, dtype):
             "box_heads": plus_heads, "full": full}
 
 
-def time_fn(fn, images, warmup=2, iters=5):
+def time_fn(fn, images, warmup=2, iters=12):
+    """Async back-to-back dispatch, one final host read (per-iteration
+    reads pay ~28ms of noisy relay RPC each — BASELINE.md)."""
     jf = jax.jit(fn)
     for _ in range(warmup):
         float(jf(images))  # host read forces real execution
     t0 = time.perf_counter()
-    for _ in range(iters):
-        s = float(jf(images))
+    outs = [jf(images) for _ in range(iters)]
+    s = float(outs[-1])
     dt = (time.perf_counter() - t0) / iters
-    del s
+    del s, outs
     return dt
 
 

@@ -27,15 +27,18 @@ import jax.numpy as jnp  # noqa: E402
 from object_detectors_tpu.ops import roi_align as R  # noqa: E402
 
 
-def time_fn(fn, *args, warmup=2, iters=8):
+def time_fn(fn, *args, warmup=2, iters=20):
+    """Async back-to-back dispatch with ONE final host read (the
+    per-iteration host-read sync costs ~28ms of relay RPC and is very
+    noisy — BASELINE.md methodology)."""
     jf = jax.jit(fn)
     for _ in range(warmup):
         float(jf(*args))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        s = float(jf(*args))
+    outs = [jf(*args) for _ in range(iters)]
+    s = float(outs[-1])
     dt = (time.perf_counter() - t0) / iters
-    del s
+    del s, outs
     return dt
 
 

@@ -26,7 +26,7 @@ from object_detectors_tpu.models import roi_heads as RH
 from object_detectors_tpu.models import rpn as RPN
 from object_detectors_tpu.models.resnet import BackboneWithFPN, ResNet
 from object_detectors_tpu.ops import boxes as box_ops
-from object_detectors_tpu.ops.roi_align import multiscale_roi_align_flat as multiscale_roi_align
+from object_detectors_tpu.ops.roi_align import pool_multiscale
 
 
 @dataclasses.dataclass(frozen=True)
@@ -101,10 +101,10 @@ class FasterRCNN(nn.Module):
             roi_boxes = prop_boxes
 
         # RoIAlign over FPN levels P2..P5 (not the pooled P6, frcnn.py:208)
-        pooled = jax.vmap(
-            lambda fs, bx: multiscale_roi_align(
-                fs, bx, (img_h, img_w), cfg.roi.pool_size)
-        )(tuple(feats[:4]), roi_boxes)
+        # — Pallas window kernel on TPU, XLA canvas gather elsewhere
+        pooled = pool_multiscale(
+            tuple(feats[:4]), roi_boxes, (img_h, img_w),
+            cfg.roi.pool_size).astype(self.dtype)
 
         x = self.box_head(pooled)
         class_logits, box_regression = self.box_predictor(x)

@@ -33,9 +33,7 @@ from object_detectors_tpu.models import roi_heads as RH
 from object_detectors_tpu.models import rpn as RPN
 from object_detectors_tpu.models.resnet import BackboneWithFPN, ResNet
 from object_detectors_tpu.ops import boxes as box_ops
-from object_detectors_tpu.ops.roi_align import (
-    multiscale_roi_align_flat as multiscale_roi_align,
-)
+from object_detectors_tpu.ops.roi_align import pool_multiscale
 
 
 class KeypointRCNNHeads(nn.Module):
@@ -174,10 +172,9 @@ class KeypointRCNN(nn.Module):
             self.cfg.num_keypoints, dtype=self.dtype, name="kp_predictor")
 
     def _kp_branch(self, feats, boxes, img_h, img_w, b):
-        pooled = jax.vmap(
-            lambda fs, bx: multiscale_roi_align(
-                fs, bx, (img_h, img_w), self.cfg.keypoint_pool_size)
-        )(tuple(feats[:4]), boxes)
+        pooled = pool_multiscale(
+            tuple(feats[:4]), boxes, (img_h, img_w),
+            self.cfg.keypoint_pool_size)
         kl = self.kp_predictor(self.kp_head(
             pooled.reshape((-1,) + pooled.shape[2:])))
         hm = kl.shape[1]
@@ -224,10 +221,8 @@ class KeypointRCNN(nn.Module):
         else:
             roi_boxes = prop_boxes
 
-        pooled = jax.vmap(
-            lambda fs, bx: multiscale_roi_align(
-                fs, bx, (img_h, img_w), cfg.roi.pool_size)
-        )(tuple(feats[:4]), roi_boxes)
+        pooled = pool_multiscale(
+            tuple(feats[:4]), roi_boxes, (img_h, img_w), cfg.roi.pool_size)
         x = self.box_head(pooled)
         class_logits, box_regression = self.box_predictor(x)
         class_logits = class_logits.astype(jnp.float32)

@@ -33,8 +33,7 @@ from object_detectors_tpu.models import rpn as RPN
 from object_detectors_tpu.models import anchors as anchor_lib
 from object_detectors_tpu.models.resnet import BackboneWithFPN, ResNet
 from object_detectors_tpu.ops import boxes as box_ops
-from object_detectors_tpu.ops.roi_align import multiscale_roi_align_flat as multiscale_roi_align
-from object_detectors_tpu.ops.roi_align import roi_align
+from object_detectors_tpu.ops.roi_align import pool_multiscale, roi_align
 
 
 class MaskRCNNHeads(nn.Module):
@@ -245,10 +244,8 @@ class MaskRCNN(nn.Module):
         else:
             roi_boxes = prop_boxes
 
-        pooled = jax.vmap(
-            lambda fs, bx: multiscale_roi_align(
-                fs, bx, (img_h, img_w), cfg.roi.pool_size)
-        )(tuple(feats[:4]), roi_boxes)
+        pooled = pool_multiscale(
+            tuple(feats[:4]), roi_boxes, (img_h, img_w), cfg.roi.pool_size)
         x = self.box_head(pooled)
         class_logits, box_regression = self.box_predictor(x)
         class_logits = class_logits.astype(jnp.float32)
@@ -263,10 +260,8 @@ class MaskRCNN(nn.Module):
                 class_weights=class_weights)
             # mask branch on the positive samples (we keep the full
             # fixed-size sample set and mask the loss by positivity)
-            mask_pooled = jax.vmap(
-                lambda fs, bx: multiscale_roi_align(
-                    fs, bx, (img_h, img_w), cfg.mask_pool_size)
-            )(tuple(feats[:4]), roi_boxes)
+            mask_pooled = pool_multiscale(
+            tuple(feats[:4]), roi_boxes, (img_h, img_w), cfg.mask_pool_size)
             ml = self.mask_predictor(self.mask_head(
                 mask_pooled.reshape((-1,) + mask_pooled.shape[2:])))
             m_out = ml.shape[1]
@@ -283,10 +278,8 @@ class MaskRCNN(nn.Module):
             class_logits, box_regression, roi_boxes, prop_valid,
             (img_h, img_w), cfg.roi,
             tfidf_post=1.0 if tfidf is None else tfidf)
-        mask_pooled = jax.vmap(
-            lambda fs, bx: multiscale_roi_align(
-                fs, bx, (img_h, img_w), cfg.mask_pool_size)
-        )(tuple(feats[:4]), boxes)
+        mask_pooled = pool_multiscale(
+            tuple(feats[:4]), boxes, (img_h, img_w), cfg.mask_pool_size)
         ml = self.mask_predictor(self.mask_head(
             mask_pooled.reshape((-1,) + mask_pooled.shape[2:])))
         m_out = ml.shape[1]

@@ -342,3 +342,32 @@ def multiscale_roi_align_flat(
            + ly * (1 - lx) * v10 + ly * lx * v11)
     out = jnp.where(outside[..., None], 0.0, out)
     return jnp.mean(out, axis=(3, 4))
+
+
+def pool_multiscale(features, boxes, image_size, output_size=(7, 7),
+                    sampling_ratio: int = 2, method: str = "auto"):
+    """Batched pooler dispatch: features per level [B, H_l, W_l, C],
+    boxes [B, N, 4] -> [B, N, oh, ow, C].
+
+    method "auto" picks the Pallas window kernel (+exact gather fix-up,
+    kernels/roi_align_pallas.py) on real TPUs and the XLA canvas gather
+    elsewhere (CPU tests, interpret-unfriendly paths). All variants are
+    numerically identical (tests/test_roi_align_pallas.py)."""
+    import jax as _jax
+
+    if method == "auto":
+        platform = _jax.devices()[0].platform
+        method = "pallas" if platform == "tpu" else "canvas"
+    if method == "pallas":
+        from object_detectors_tpu.kernels.roi_align_pallas import (
+            multiscale_roi_align_hybrid,
+        )
+
+        return multiscale_roi_align_hybrid(
+            tuple(features), boxes, image_size, output_size,
+            sampling_ratio)
+    pool = {"canvas": multiscale_roi_align_canvas,
+            "flat": multiscale_roi_align_flat}[method]
+    return jax.vmap(
+        lambda fs, bx: pool(fs, bx, image_size, output_size,
+                            sampling_ratio))(tuple(features), boxes)
