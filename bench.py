@@ -70,7 +70,7 @@ def build_pipeline(num_classes=80, img_size=640, topk=256, max_det=100,
         score = jax.nn.sigmoid(obj) * jnp.exp(max_l - lse)
         label = jnp.argmax(logits, -1).astype(jnp.int32)
 
-        topv, topi = jax.lax.top_k(score, topk)
+        topv, topi = jax.vmap(lambda s: N.exact_blocked_topk(s, topk))(score)
         sel = jnp.take_along_axis(
             raw[..., :4].astype(jnp.float32), topi[..., None], 1)
         sel_priors = priors[topi]
@@ -211,7 +211,7 @@ def run_yolo_lvis(bs=16, img_size=416, warmup=2, iters=8,
         lse = jax.nn.logsumexp(logits, -1)
         score = jax.nn.sigmoid(obj) * jnp.exp(max_l - lse)
         label = jnp.argmax(logits, -1).astype(jnp.int32)
-        topv, topi = jax.lax.top_k(score, topk)
+        topv, topi = jax.vmap(lambda s: N.exact_blocked_topk(s, topk))(score)
         sel = jnp.take_along_axis(
             raw[..., :4].astype(jnp.float32), topi[..., None], 1)
         sp = priors[topi]

@@ -224,7 +224,7 @@ def retinanet_postprocess(
                 # reduce + two small top-ks.
                 n_anchor = min(topk, ls)
                 anchor_best = jnp.max(raw, axis=1)  # [ls]
-                _, a_idx = jax.lax.top_k(anchor_best, n_anchor)
+                _, a_idx = N.exact_blocked_topk(anchor_best, n_anchor)
                 sub = raw[a_idx]  # [n_anchor, K]
                 topv_l, sub_i = jax.lax.top_k(sub.reshape(-1), topk)
                 topi = (a_idx[sub_i // k] * k + sub_i % k)

@@ -266,7 +266,8 @@ def postprocess_detections(
         fvalid = jnp.broadcast_to(pvalid[:, None], (p, c - 1)).reshape(-1)
         fvalid &= fscores > cfg.score_thresh
         cap = min(cfg.pre_nms_candidates, fscores.shape[0])
-        topv, topi = jax.lax.top_k(
+        # exact blocked top-k (1000-of-90k on COCO, -of-1.2M on LVIS)
+        topv, topi = N.exact_blocked_topk(
             jnp.where(fvalid, fscores, -jnp.inf), cap)
         prop_idx = topi // (c - 1)
         cls_idx = topi % (c - 1) + 1  # skip background column

@@ -112,7 +112,8 @@ def filter_proposals(
             ob = jax.lax.dynamic_slice_in_dim(obj, start, ls, 0)
             pr = jax.lax.dynamic_slice_in_dim(props, start, ls, 0)
             k = min(pre_n, ls)
-            topv, topi = jax.lax.top_k(ob, k)
+            # exact blocked top-k: P2 at 640^2 is 1000-of-76800
+            topv, topi = N.exact_blocked_topk(ob, k)
             if k < pre_n:
                 topv = jnp.concatenate(
                     [topv, jnp.full((pre_n - k,), -jnp.inf, topv.dtype)])

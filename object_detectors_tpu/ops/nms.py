@@ -353,3 +353,33 @@ def topk_by_score(scores: jnp.ndarray, k: int):
     """Top-k helper returning (values, indices) — thin wrapper over
     lax.top_k for pre-NMS candidate reduction (per-level top-1000 etc.)."""
     return jax.lax.top_k(scores, k)
+
+
+def exact_blocked_topk(scores: jnp.ndarray, k: int, block: int = 64):
+    """Exact top-k over a long 1-D score vector via block reduction.
+
+    The k largest elements occupy at most k distinct blocks, and every
+    block containing one has block-max >= the k-th value, so the top-k
+    blocks by max form a superset — one cheap top-k over n/block block
+    maxima plus one over k*block gathered entries replaces a full
+    top-k over n (RPN objectness: 1000-of-76800 at P2/640^2).
+
+    Returns (values [k], indices [k] into the input); same tie-ordering
+    guarantees as lax.top_k are NOT preserved across equal scores in
+    different blocks, but identical score SETS are (ties broken by
+    block-major order, matching lax.top_k's index order within the
+    gathered subset)."""
+    n = scores.shape[0]
+    nb = -(-n // block)
+    if k >= n or nb <= k:  # degenerate: blocking can't help
+        return jax.lax.top_k(scores, min(k, n))
+    pad = nb * block - n
+    s = jnp.pad(scores, (0, pad), constant_values=-jnp.inf)
+    blocks = s.reshape(nb, block)
+    bmax = jnp.max(blocks, axis=1)
+    _, bidx = jax.lax.top_k(bmax, k)
+    bidx = jnp.sort(bidx)  # restore block-major order for tie parity
+    sub = blocks[bidx].reshape(-1)          # [k * block]
+    topv, subi = jax.lax.top_k(sub, k)
+    idx = bidx[subi // block] * block + subi % block
+    return topv, idx

@@ -1,6 +1,7 @@
 """NMS tests: parity against a trusted numpy greedy reference, plus the
 majority-vote label semantics of `yolo/utilities/helper.py:280-382`."""
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -211,3 +212,14 @@ def test_majority_fixedpoint_equals_scan():
                                jnp.asarray(valid), method="fixedpoint")
             for x, y in zip(a, b):
                 np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_exact_blocked_topk_matches_lax():
+    rng = np.random.RandomState(0)
+    from object_detectors_tpu.ops.nms import exact_blocked_topk
+    for n, k in ((76800, 1000), (4800, 1000), (999, 100), (300, 1000)):
+        s = np.round(rng.randn(n).astype(np.float32), 2)  # ties
+        lv, li = jax.lax.top_k(jnp.asarray(s), min(k, n))
+        bv, bi = exact_blocked_topk(jnp.asarray(s), k)
+        np.testing.assert_array_equal(np.asarray(lv), np.asarray(bv))
+        np.testing.assert_array_equal(np.asarray(li), np.asarray(bi))
