@@ -1,0 +1,110 @@
+"""RetinaNet stage ablation timing on the real chip.
+
+Cumulative prefixes (backbone+fpn -> +head towers -> +postprocess) with
+async back-to-back dispatch and one final host read (per-iteration host
+reads pay ~28ms of noisy relay RPC — BASELINE.md methodology).
+
+Usage: python -m object_detectors_tpu.analysis.retinanet_ablate [--bs 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+
+from object_detectors_tpu.models import anchors as anchor_lib  # noqa: E402
+from object_detectors_tpu.models import retinanet as RN  # noqa: E402
+from object_detectors_tpu.models.resnet import (  # noqa: E402
+    BackboneWithFPN, ResNet,
+)
+
+
+def build_stages(size, dtype, num_classes=91):
+    cfg = RN.RetinaNetConfig(num_classes=num_classes)
+    model = RN.RetinaNet(num_classes=num_classes, dtype=dtype)
+    x0 = jnp.zeros((1, size, size, 3), dtype)
+    variables = model.init(jax.random.key(0), x0, train=False)
+
+    bb = BackboneWithFPN(ResNet((3, 4, 6, 3), "bottleneck", "frozen",
+                                dtype),
+                         out_channels=256, extra_blocks="p6p7")
+    bbv = {"params": variables["params"]["backbone"],
+           "frozen": variables["frozen"]["backbone"]}
+    headv = {"params": variables["params"]["head"]}
+
+    grids = [(size // 8,) * 2, (size // 16,) * 2, (size // 32,) * 2,
+             (size // 64,) * 2, (size // 128,) * 2]
+    sizes, ars = anchor_lib.retinanet_anchor_config()
+    anchors = jnp.asarray(anchor_lib.grid_anchors((size, size), grids,
+                                                  sizes, ars))
+
+    def backbone_only(images):
+        feats = bb.apply(bbv, images, False)
+        return sum(jnp.sum(f.astype(jnp.float32)) for f in feats)
+
+    def plus_head(images):
+        feats = bb.apply(bbv, images, False)
+        cls, reg, _ = RN.RetinaNetHead(num_classes, dtype=dtype).apply(
+            headv, feats)
+        return (jnp.sum(cls.astype(jnp.float32))
+                + jnp.sum(reg.astype(jnp.float32)))
+
+    def full(images):
+        cls, reg, level_sizes = model.apply(variables, images,
+                                            train=False)
+        out = RN.retinanet_postprocess(
+            cls.astype(jnp.float32), reg.astype(jnp.float32), anchors,
+            tuple(level_sizes), (size, size), cfg)
+        return jnp.sum(out[0]) + jnp.sum(out[1])
+
+    return {"backbone": backbone_only, "head": plus_head, "full": full}
+
+
+def time_fn(fn, images, warmup=2, iters=12):
+    jf = jax.jit(fn)
+    for _ in range(warmup):
+        float(jf(images))
+    t0 = time.perf_counter()
+    outs = [jf(images) for _ in range(iters)]
+    s = float(outs[-1])
+    dt = (time.perf_counter() - t0) / iters
+    del s, outs
+    return dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bs", type=int, default=8)
+    ap.add_argument("--size", type=int, default=640)
+    ap.add_argument("--stages", nargs="*", default=None)
+    args = ap.parse_args()
+    dtype = jnp.bfloat16
+
+    stages = build_stages(args.size, dtype)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(
+        rng.rand(args.bs, args.size, args.size, 3).astype(np.float32),
+        dtype)
+    prev = 0.0
+    for name, fn in stages.items():
+        if args.stages and name not in args.stages:
+            continue
+        dt = time_fn(fn, images)
+        print(f"{name:10s} {dt*1e3:8.1f} ms  (+{(dt-prev)*1e3:7.1f} ms)"
+              f"  {args.bs/dt:7.1f} img/s")
+        prev = dt
+
+
+if __name__ == "__main__":
+    main()

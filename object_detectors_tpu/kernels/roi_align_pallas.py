@@ -39,6 +39,9 @@ from object_detectors_tpu.ops.roi_align import (
 
 WIN = 32   # window rows (row starts are unconstrained)
 WINX = 40  # window cols: 32 usable + 8 slack for the aligned origin
+SWIN = 16   # small-RoI window rows (covers spans <= 14 cells)
+SWINX = 24  # small-RoI window cols (16 usable + 8 alignment slack)
+NSLOTS = 4  # DMA pipeline depth (prefetch distance NSLOTS-1)
 
 
 def _axis_sample(k, origin, bin_sz, limit, srat):
@@ -63,25 +66,56 @@ def _roi_align_kernel(wins_ref, geom_ref, canvas_ref, out_ref,
     bin_w, H_l, W_l, win_row_rel, win_col_rel_aligned) — flattened 1D
     because SMEM pads the minor dim of 2D arrays to 128 lanes."""
     n = pl.program_id(0)
-    slot = jax.lax.rem(n, 2)
+    slot = jax.lax.rem(n, NSLOTS)
     ns = oh * srat
 
     def dma(i, s):
-        row = wins_ref[2 * i]
-        col = pl.multiple_of(wins_ref[2 * i + 1], 8)
-        return pltpu.make_async_copy(
-            canvas_ref.at[pl.ds(row, WIN), pl.ds(col, WINX), :],
-            win_buf.at[s], sems.at[s])
+        """Window copy for RoI i into slot s; small RoIs (most real
+        proposals) copy a quarter-size window — the sampling indices
+        never leave the fresh region, so compute is unconditional."""
+        row = wins_ref[3 * i]
+        col = pl.multiple_of(wins_ref[3 * i + 1], 8)
+        small = wins_ref[3 * i + 2] > 0
+
+        def make(h, w):
+            return pltpu.make_async_copy(
+                canvas_ref.at[pl.ds(row, h), pl.ds(col, w), :],
+                win_buf.at[s, :h, :w, :], sems.at[s])
+
+        return small, make(SWIN, SWINX), make(WIN, WINX)
+
+    def start(i, s):
+        small, sm, big = dma(i, s)
+
+        @pl.when(small)
+        def _():
+            sm.start()
+
+        @pl.when(jnp.logical_not(small))
+        def _():
+            big.start()
+
+    def wait(i, s):
+        small, sm, big = dma(i, s)
+
+        @pl.when(small)
+        def _():
+            sm.wait()
+
+        @pl.when(jnp.logical_not(small))
+        def _():
+            big.wait()
 
     @pl.when(n == 0)
     def _():
-        dma(0, 0).start()
+        for i in range(min(NSLOTS - 1, n_rois)):
+            start(i, i % NSLOTS)
 
-    @pl.when(n + 1 < n_rois)
+    @pl.when(n + NSLOTS - 1 < n_rois)
     def _():
-        dma(n + 1, jax.lax.rem(n + 1, 2)).start()
+        start(n + NSLOTS - 1, jax.lax.rem(n + NSLOTS - 1, NSLOTS))
 
-    dma(n, slot).wait()
+    wait(n, slot)
 
     y1 = geom_ref[8 * n]
     x1 = geom_ref[8 * n + 1]
@@ -165,10 +199,12 @@ def _prep(features, boxes, image_size, oh, ow, s):
     first_x = x1 + (0.5 / s) * bin_w
     f0y = jnp.floor(jnp.clip(first_y, 0.0, hl - 1.0))
     f0x = jnp.floor(jnp.clip(first_x, 0.0, wl - 1.0))
-    win_row = jnp.clip(f0y, 0.0, jnp.maximum(hl - WIN, 0.0))
-    # column origin aligned DOWN to the sublane tile (8)
-    win_col = jnp.floor(
-        jnp.clip(f0x, 0.0, jnp.maximum(wl - WINX, 0.0)) / 8.0) * 8.0
+
+    def origin(f0, lim, h, w_aligned):
+        o = jnp.clip(f0, 0.0, jnp.maximum(lim - h, 0.0))
+        if w_aligned:  # column origins align DOWN to the sublane tile
+            o = jnp.floor(o / 8.0) * 8.0
+        return o
 
     span = (oh - 1 + (s - 0.5) / s - 0.5 / s)  # sample span in bins
 
@@ -178,13 +214,23 @@ def _prep(features, boxes, image_size, oh, ow, s):
             jnp.floor(jnp.clip(last, 0.0, lim - 1.0)) + 1.0, lim - 1.0)
         return b_last - o_rel > width - 1.0
 
+    win_row = origin(f0y, hl, WIN, False)
+    win_col = origin(f0x, wl, WINX, True)
+    row_s = origin(f0y, hl, SWIN, False)
+    col_s = origin(f0x, wl, SWINX, True)
+    small = ~(overflow(first_y, row_s, bin_h, hl, SWIN)
+              | overflow(first_x, col_s, bin_w, wl, SWINX))
     ovr = (overflow(first_y, win_row, bin_h, hl, WIN)
            | overflow(first_x, win_col, bin_w, wl, WINX))
+
+    win_row = jnp.where(small, row_s, win_row)
+    win_col = jnp.where(small, col_s, win_col)
 
     # 1D-flattened descriptors: 2D SMEM prefetch arrays are lane-padded
     # to 128 columns (v5e SMEM is only 1 MiB)
     wins = jnp.stack([base_row + win_row.astype(jnp.int32),
-                      win_col.astype(jnp.int32)], axis=-1).reshape(-1)
+                      win_col.astype(jnp.int32),
+                      small.astype(jnp.int32)], axis=-1).reshape(-1)
     geom = jnp.stack([y1, x1, bin_h, bin_w, hl, wl, win_row, win_col],
                      axis=-1).reshape(-1)
     return canvas, wins, geom, ovr
@@ -216,9 +262,9 @@ def multiscale_roi_align_pallas(
         out_specs=pl.BlockSpec(
             (1, oh, ow, c), lambda i, *_: (i, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, WIN, WINX, c), canvas.dtype),
+            pltpu.VMEM((NSLOTS, WIN, WINX, c), canvas.dtype),
             pltpu.VMEM((WINX, oh * s, c), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((NSLOTS,)),
         ],
     )
     kernel = partial(_roi_align_kernel, n_rois=n_rois, c=c, oh=oh, ow=ow,
