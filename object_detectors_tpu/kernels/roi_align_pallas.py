@@ -15,7 +15,7 @@ only aspect-extreme RoIs can span more than WIN-2 cells on one axis
 kernel by :func:`multiscale_roi_align_hybrid` via the XLA canvas gather
 on a static per-image capacity (beyond capacity they degrade to
 window-edge-clamped sampling — a documented approximation for >4:1
-degenerate boxes past the 32-per-image budget).
+degenerate boxes past the per-image fix-up budget).
 
 Semantics match torchvision MultiScaleRoIAlign (aligned=False,
 sampling_ratio=2, canonical 224/level-4 mapper) — parity with
@@ -41,7 +41,7 @@ WIN = 32   # window rows (row starts are unconstrained)
 WINX = 40  # window cols: 32 usable + 8 slack for the aligned origin
 SWIN = 16   # small-RoI window rows (covers spans <= 14 cells)
 SWINX = 24  # small-RoI window cols (16 usable + 8 alignment slack)
-NSLOTS = 4  # DMA pipeline depth (prefetch distance NSLOTS-1)
+NSLOTS = 6  # DMA pipeline depth (prefetch distance NSLOTS-1)
 
 
 def _axis_sample(k, origin, bin_sz, limit, srat):
@@ -151,7 +151,7 @@ def _roi_align_kernel(wins_ref, geom_ref, canvas_ref, out_ref,
             v = t2_buf[xa] * wa + t2_buf[xb] * wb      # [ns(y), C]
             folded = folded + v.reshape(oh, srat, c).sum(axis=1)
         cols.append(folded * inv)
-    out_ref[0] = jnp.stack(cols, axis=1)               # [oh, ow, C]
+    out_ref[0] = jnp.stack(cols, axis=1).astype(out_ref.dtype)
 
 
 def _prep(features, boxes, image_size, oh, ow, s):
@@ -237,7 +237,8 @@ def _prep(features, boxes, image_size, oh, ow, s):
 
 
 @partial(jax.jit, static_argnames=("output_size", "sampling_ratio",
-                                   "image_size", "interpret"))
+                                   "image_size", "interpret"),
+         donate_argnums=())
 def multiscale_roi_align_pallas(
     features: Sequence[jnp.ndarray],   # per level [B, H_l, W_l, C]
     boxes: jnp.ndarray,                # [B, N, 4] xyxy image coords
@@ -245,6 +246,7 @@ def multiscale_roi_align_pallas(
     output_size: tuple = (7, 7),
     sampling_ratio: int = 2,
     interpret: bool = False,
+    prep=None,
 ) -> jnp.ndarray:
     """-> [B, N, oh, ow, C] f32. Window-clamped for overflow RoIs (use
     :func:`multiscale_roi_align_hybrid` for exact handling)."""
@@ -252,7 +254,9 @@ def multiscale_roi_align_pallas(
     c = features[0].shape[-1]
     oh, ow = output_size
     s = sampling_ratio
-    canvas, wins, geom, _ = _prep(features, boxes, image_size, oh, ow, s)
+    if prep is None:
+        prep = _prep(features, boxes, image_size, oh, ow, s)
+    canvas, wins, geom, _ = prep
 
     n_rois = bsz * n
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -271,7 +275,8 @@ def multiscale_roi_align_pallas(
                      srat=s)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n_rois, oh, ow, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_rois, oh, ow, c),
+                                       canvas.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
     )(wins, geom, canvas)
@@ -287,7 +292,7 @@ def multiscale_roi_align_hybrid(
     image_size: tuple,
     output_size: tuple = (7, 7),
     sampling_ratio: int = 2,
-    fixup_capacity: int = 32,
+    fixup_capacity: int = 16,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Pallas windows for the bulk + exact XLA-gather repool of up to
@@ -297,13 +302,14 @@ def multiscale_roi_align_hybrid(
     bsz, n = boxes.shape[:2]
     oh, ow = output_size
     s = sampling_ratio
+    prep = _prep(features, boxes, image_size, oh, ow, s)
     out = multiscale_roi_align_pallas(
-        features, boxes, image_size, output_size, s, interpret=interpret)
+        features, boxes, image_size, output_size, s,
+        interpret=interpret, prep=prep)
     if fixup_capacity <= 0:
         return out
 
-    _, _, _, ovr = _prep(features, boxes, image_size, oh, ow, s)
-    ovr = ovr.reshape(bsz, n)
+    ovr = prep[3].reshape(bsz, n)
     k = min(fixup_capacity, n)
     _, idx = jax.lax.top_k(ovr.astype(jnp.float32), k)   # [B, k]
     sel_ovr = jnp.take_along_axis(ovr, idx, axis=1)      # [B, k]

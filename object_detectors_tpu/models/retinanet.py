@@ -48,6 +48,12 @@ class RetinaNetConfig:
     nms_thresh: float = 0.5
     detections_per_img: int = 300
     topk_candidates: int = 1000
+    # global pre-NMS candidate cap across the concatenated levels (the
+    # per-level top-1000s sum to ~4700 at 640^2). Greedy NMS only ever
+    # consults higher-scored boxes, so the top-K prefix is exact as long
+    # as >= detections_per_img survivors land inside it (same argument
+    # as RoIHeadsConfig.pre_nms_candidates). 0 disables.
+    pre_nms_candidates: int = 2000
     box_weights: tuple = (1.0, 1.0, 1.0, 1.0)
     focal_alpha: float = 0.25
     focal_gamma: float = 2.0
@@ -249,6 +255,13 @@ def retinanet_postprocess(
         scores = jnp.concatenate(lvl_scores, 0)
         labels = jnp.concatenate(lvl_labels, 0)
         valid = jnp.concatenate(lvl_valid, 0)
+        if cfg.pre_nms_candidates and \
+                cfg.pre_nms_candidates < boxes.shape[0]:
+            _, keep = N.exact_blocked_topk(
+                jnp.where(valid, scores, -jnp.inf),
+                cfg.pre_nms_candidates)
+            boxes, scores, labels, valid = (
+                boxes[keep], scores[keep], labels[keep], valid[keep])
         ob, osc, olab, _, ovalid = N.batched_nms(
             boxes, scores, labels, cfg.nms_thresh,
             cfg.detections_per_img, valid)

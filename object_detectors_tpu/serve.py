@@ -76,12 +76,23 @@ class BatchedDetectionServer:
         bs = self.batch_size[model]
         n = min(len(q), bs)
         items = [q.popleft() for _ in range(n)]
-        imgs = np.stack([it[0].image for it in items])
-        if n < bs:  # pad to the static batch
-            pad = np.repeat(imgs[-1:], bs - n, axis=0)
-            imgs = np.concatenate([imgs, pad], axis=0)
-        batch = jnp.asarray(imgs) if self.input_dtype is None else \
-            jnp.asarray(imgs, self.input_dtype)
+        if isinstance(items[0][0].image, jax.Array):
+            # device-staged requests: batch on device (no host round
+            # trip — the dev-relay H2D tunnel runs ~50 MB/s and would
+            # dominate; production ingest DMAs straight to HBM)
+            imgs = jnp.stack([it[0].image for it in items])
+            if n < bs:
+                imgs = jnp.concatenate(
+                    [imgs, jnp.repeat(imgs[-1:], bs - n, axis=0)], 0)
+            batch = imgs if self.input_dtype is None else \
+                imgs.astype(self.input_dtype)
+        else:
+            imgs = np.stack([it[0].image for it in items])
+            if n < bs:  # pad to the static batch
+                pad = np.repeat(imgs[-1:], bs - n, axis=0)
+                imgs = np.concatenate([imgs, pad], axis=0)
+            batch = jnp.asarray(imgs) if self.input_dtype is None else \
+                jnp.asarray(imgs, self.input_dtype)
         outputs = self.pipelines[model](batch)  # async dispatch
         self.pending.append((model, items, outputs))
         out = []
