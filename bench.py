@@ -279,6 +279,36 @@ def run_serving(n_requests=256, img_size=640, yolo_bs=32, retina_bs=8):
     return n_requests / dt
 
 
+def run_nms_latency(bs=64, n_cand=256, max_det=100, num_classes=80,
+                    iters=30):
+    """BASELINE named metric: p50 NMS latency per image. Times the
+    batched majority-vote NMS (the YOLO production variant) standalone
+    on device-resident candidates; reports the median per-iteration
+    batch time divided by batch size, in microseconds."""
+    rng = np.random.RandomState(5)
+    xy = rng.rand(bs, n_cand, 2) * 600
+    wh = rng.rand(bs, n_cand, 2) * 120 + 1
+    boxes = jnp.asarray(
+        np.concatenate([xy, xy + wh], -1).astype(np.float32))
+    scores = jnp.asarray(rng.rand(bs, n_cand).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, num_classes, (bs, n_cand)))
+
+    f = jax.jit(jax.vmap(lambda b, s, c: N.nms_majority(
+        b, s, c, num_classes=num_classes, iou_threshold=0.6,
+        max_output=max_det)))
+    for _ in range(3):
+        out = f(boxes, scores, labels)
+    float(np.asarray(out[1]).sum())
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        outs = [f(boxes, scores, labels) for _ in range(iters)]
+        s = float(np.asarray(outs[-1][1]).sum())
+        times.append((time.perf_counter() - t0) / iters)
+        del s
+    return float(np.median(times)) / bs * 1e6  # us/image
+
+
 def run_protocol(batch_sizes=(4, 8), img_size=416, num_images=64,
                  out_csv="benchmark_res.csv"):
     """The reference benchmark.py protocol (yolo/benchmark.py:17-157):
@@ -387,13 +417,16 @@ def main():
         configs["frcnn640"] = {"value": round(run_frcnn(), 2)}
     if "yolo_lvis416" in wanted:
         configs["yolo_lvis416"] = {"value": round(run_yolo_lvis(), 2)}
+    if not args.quick:
+        configs["nms_p50_latency"] = {
+            "value": round(run_nms_latency(), 2), "unit": "us/image"}
     if "serving" in wanted:
         try:
             configs["serving"] = {"value": round(run_serving(), 2)}
         except Exception as e:  # serving is the stretch config
             configs["serving"] = {"error": str(e)[:200]}
     for v in configs.values():
-        if "value" in v:
+        if "value" in v and v.get("unit") is None:  # throughput configs
             v["vs_baseline"] = round(v["value"] / PER_CHIP_TARGET, 4)
 
     print(json.dumps({

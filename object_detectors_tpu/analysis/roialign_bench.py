@@ -82,6 +82,12 @@ def main():
     def pallas_fn(fs, bx):
         return jnp.sum(multiscale_roi_align_pallas(fs, bx, img, (7, 7)))
 
+    def pallas_dbg(mode):
+        def f(fs, bx):
+            return jnp.sum(multiscale_roi_align_pallas(
+                fs, bx, img, (7, 7), debug=mode))
+        return f
+
     def hybrid_fn(fs, bx):
         return jnp.sum(multiscale_roi_align_hybrid(fs, bx, img, (7, 7)))
 
@@ -90,6 +96,8 @@ def main():
         "flat": run_variant(R.multiscale_roi_align_flat),
         "canvas": run_variant(R.multiscale_roi_align_canvas),
         "pallas": pallas_fn,
+        "pallas_dma": pallas_dbg("dma_only"),
+        "pallas_compute": pallas_dbg("compute_only"),
         "hybrid": hybrid_fn,
     }
     for name, fn in variants.items():

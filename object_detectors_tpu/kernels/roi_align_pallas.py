@@ -60,7 +60,8 @@ def _axis_sample(k, origin, bin_sz, limit, srat):
 
 
 def _roi_align_kernel(wins_ref, geom_ref, canvas_ref, out_ref,
-                      win_buf, t2_buf, sems, *, n_rois, c, oh, ow, srat):
+                      win_buf, t2_buf, sems, *, n_rois, c, oh, ow, srat,
+                      debug="full"):
     """One grid step = one RoI. wins_ref [N*2] i32 SMEM (canvas window
     row, 8-aligned window col); geom_ref [N*8] f32 SMEM (y1, x1, bin_h,
     bin_w, H_l, W_l, win_row_rel, win_col_rel_aligned) — flattened 1D
@@ -106,16 +107,21 @@ def _roi_align_kernel(wins_ref, geom_ref, canvas_ref, out_ref,
         def _():
             big.wait()
 
-    @pl.when(n == 0)
-    def _():
-        for i in range(min(NSLOTS - 1, n_rois)):
-            start(i, i % NSLOTS)
+    if debug != "compute_only":
+        @pl.when(n == 0)
+        def _():
+            for i in range(min(NSLOTS - 1, n_rois)):
+                start(i, i % NSLOTS)
 
-    @pl.when(n + NSLOTS - 1 < n_rois)
-    def _():
-        start(n + NSLOTS - 1, jax.lax.rem(n + NSLOTS - 1, NSLOTS))
+        @pl.when(n + NSLOTS - 1 < n_rois)
+        def _():
+            start(n + NSLOTS - 1, jax.lax.rem(n + NSLOTS - 1, NSLOTS))
 
-    wait(n, slot)
+        wait(n, slot)
+
+    if debug == "dma_only":
+        out_ref[0] = jnp.zeros((oh, ow, c), out_ref.dtype)
+        return
 
     y1 = geom_ref[8 * n]
     x1 = geom_ref[8 * n + 1]
@@ -237,8 +243,7 @@ def _prep(features, boxes, image_size, oh, ow, s):
 
 
 @partial(jax.jit, static_argnames=("output_size", "sampling_ratio",
-                                   "image_size", "interpret"),
-         donate_argnums=())
+                                   "image_size", "interpret", "debug"))
 def multiscale_roi_align_pallas(
     features: Sequence[jnp.ndarray],   # per level [B, H_l, W_l, C]
     boxes: jnp.ndarray,                # [B, N, 4] xyxy image coords
@@ -247,6 +252,7 @@ def multiscale_roi_align_pallas(
     sampling_ratio: int = 2,
     interpret: bool = False,
     prep=None,
+    debug: str = "full",
 ) -> jnp.ndarray:
     """-> [B, N, oh, ow, C] f32. Window-clamped for overflow RoIs (use
     :func:`multiscale_roi_align_hybrid` for exact handling)."""
@@ -272,7 +278,7 @@ def multiscale_roi_align_pallas(
         ],
     )
     kernel = partial(_roi_align_kernel, n_rois=n_rois, c=c, oh=oh, ow=ow,
-                     srat=s)
+                     srat=s, debug=debug)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_rois, oh, ow, c),

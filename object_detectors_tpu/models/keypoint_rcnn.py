@@ -10,10 +10,10 @@ KeypointRCNN assembly (FasterRCNN graph + keypoint branch, num_classes=2).
 * keypointrcnn_loss (:295-322): softmax cross-entropy over the flattened
   heatmap at each valid keypoint's target cell, mean over valid.
 * heatmaps_to_keypoints (:233-292): per keypoint argmax -> image
-  coordinates + score. TPU variant: argmax on the fixed 56x56 grid and
-  scale to the box (the reference first bilinearly resizes to the exact
-  box size; equivalent up to sub-cell quantization, which its own
-  offset correction also only approximates).
+  coordinates + score. TPU variant: one fixed 4x bicubic refinement +
+  argmax (the reference resizes each heatmap to its RoI's exact pixel
+  size — data-dependent shapes; parity/run_parity.py keypoint_parity
+  measures the sub-cell difference: worst 0.52 heatmap cells).
 * KeypointRCNN: one jit region like our FasterRCNN/MaskRCNN — RPN,
   sampling, box branch and keypoint branch with static shapes.
 """
@@ -86,7 +86,9 @@ def keypoints_to_heatmap(keypoints, boxes, heatmap_size: int):
              & (x_int < heatmap_size) & (y_int < heatmap_size))
     cell = jnp.clip(y_int, 0, heatmap_size - 1) * heatmap_size + \
         jnp.clip(x_int, 0, heatmap_size - 1)
-    return cell, valid
+    # invalid targets carry cell 0, matching the reference contract
+    # (roi_heads.py:218 `heatmaps = lin_ind * valid`)
+    return cell * valid, valid
 
 
 @jax.jit
@@ -112,22 +114,41 @@ def keypointrcnn_loss(kp_logits, proposals, gt_keypoints, matched_idxs,
     return jnp.sum(loss_sum) / jnp.maximum(jnp.sum(count), 1.0)
 
 
-@jax.jit
-def heatmaps_to_keypoints(kp_logits, boxes):
+@partial(jax.jit, static_argnames=("upsample",))
+def heatmaps_to_keypoints(kp_logits, boxes, upsample: int = 4):
     """[B, D, H, H, K] logits + [B, D, 4] boxes ->
-    (keypoints [B, D, K, 3] (x, y, vis=1), scores [B, D, K])."""
+    (keypoints [B, D, K, 3] (x, y, vis=1), scores [B, D, K]).
+
+    The reference (roi_heads.py:275-328) bicubic-resizes each heatmap to
+    the RoI's OWN ceil(w) x ceil(h) pixel size before the argmax —
+    data-dependent shapes XLA cannot compile. Static-shape equivalent:
+    one bicubic upsample to a fixed ``upsample``x finer grid, argmax
+    there, and map (i + 0.5)/grid into the box — sub-cell localization
+    within heatmap_cell/upsample of the reference (documented
+    approximation; upsample=1 reproduces the coarse grid argmax)."""
     b, d, hm, _, k = kp_logits.shape
-    flat = kp_logits.reshape(b, d, hm * hm, k)
-    probs = jax.nn.softmax(flat, axis=2)
-    idx = jnp.argmax(flat, axis=2)  # [B, D, K]
-    scores = jnp.take_along_axis(probs, idx[:, :, None, :], axis=2)[
+    if upsample > 1:
+        up = jax.image.resize(
+            kp_logits.astype(jnp.float32),
+            (b, d, hm * upsample, hm * upsample, k), method="bicubic")
+    else:
+        up = kp_logits.astype(jnp.float32)
+    g = hm * upsample
+    flat = up.reshape(b, d, g * g, k)
+    idx = jnp.argmax(flat, axis=2)  # [B, D, K] refined grid cell
+    # score = softmax prob on the COARSE grid at the refined peak's cell
+    # (the fine-grid softmax spreads one peak over upsample^2 cells)
+    coarse_flat = kp_logits.astype(jnp.float32).reshape(b, d, hm * hm, k)
+    probs = jax.nn.softmax(coarse_flat, axis=2)
+    cidx = ((idx // g) // upsample) * hm + (idx % g) // upsample
+    scores = jnp.take_along_axis(probs, cidx[:, :, None, :], axis=2)[
         :, :, 0, :]
-    yy = (idx // hm).astype(jnp.float32) + 0.5
-    xx = (idx % hm).astype(jnp.float32) + 0.5
+    yy = (idx // g).astype(jnp.float32) + 0.5
+    xx = (idx % g).astype(jnp.float32) + 0.5
     w = jnp.clip(boxes[..., 2] - boxes[..., 0], 1e-6)[..., None]
     h = jnp.clip(boxes[..., 3] - boxes[..., 1], 1e-6)[..., None]
-    x = boxes[..., 0][..., None] + xx / hm * w
-    y = boxes[..., 1][..., None] + yy / hm * h
+    x = boxes[..., 0][..., None] + xx / g * w
+    y = boxes[..., 1][..., None] + yy / g * h
     kps = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
     return kps, scores
 

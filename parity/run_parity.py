@@ -345,6 +345,69 @@ def yolo_parity():
     return results
 
 
+def keypoint_parity():
+    """Keypoint branch functional parity vs the REFERENCE's own
+    keypoints_to_heatmap / heatmaps_to_keypoints
+    (`tvision/roi_heads.py:186-328`).
+
+    The training-target encode must match EXACTLY. The decode is a
+    documented approximation: the reference bicubic-resizes each heatmap
+    to its RoI's ceil(w)xceil(h) (data-dependent shapes); ours uses one
+    fixed 4x bicubic grid — reported as worst keypoint distance in px."""
+    sys.path.insert(0, "/root/reference/torchvision_models")
+    from tvision import roi_heads as ref_rh
+
+    from object_detectors_tpu.models import keypoint_rcnn as KR
+
+    rng = np.random.RandomState(7)
+    n, k, hm = 24, 17, 56
+    rois = np.sort(rng.rand(n, 2, 2) * 300, axis=1)
+    rois = np.concatenate([rois[:, 0], rois[:, 0] + 20 + rois[:, 1]],
+                          axis=1).astype(np.float32)
+    kps = np.stack([
+        rois[:, 0:1] + rng.rand(n, k) * (rois[:, 2:3] - rois[:, 0:1]),
+        rois[:, 1:2] + rng.rand(n, k) * (rois[:, 3:4] - rois[:, 1:2]),
+        rng.randint(0, 3, (n, k)).astype(np.float64)], axis=-1)
+    # exact-boundary cases (x == roi x2) exercise the boundary branch
+    kps[0, 0, 0] = rois[0, 2]
+    kps[1, 1, 1] = rois[1, 3]
+
+    ref_hm, ref_valid = ref_rh.keypoints_to_heatmap(
+        torch.from_numpy(kps).float(), torch.from_numpy(rois), hm)
+    ours_hm, ours_valid = KR.keypoints_to_heatmap(
+        jnp.asarray(kps, jnp.float32), jnp.asarray(rois), hm)
+    res = {
+        "encode_lin_idx_mismatches": int(
+            (np.asarray(ours_hm) != ref_hm.numpy()).sum()),
+        "encode_valid_mismatches": int(
+            (np.asarray(ours_valid).astype(np.int64)
+             != ref_valid.numpy()).sum()),
+    }
+
+    # random logits + ONE planted peak per (roi, keypoint): random maps
+    # have many near-tie maxima where any interpolation difference
+    # teleports the argmax — real heads produce peaked maps
+    maps = rng.randn(n, k, hm, hm).astype(np.float32)
+    py = rng.randint(2, hm - 2, (n, k))
+    px = rng.randint(2, hm - 2, (n, k))
+    for i in range(n):
+        for j in range(k):
+            maps[i, j, py[i, j], px[i, j]] += 10.0
+    ref_xy, ref_sc = ref_rh.heatmaps_to_keypoints(
+        torch.from_numpy(maps), torch.from_numpy(rois))
+    ours_xy, _ = KR.heatmaps_to_keypoints(
+        jnp.asarray(maps.transpose(0, 2, 3, 1))[None],
+        jnp.asarray(rois)[None])
+    dist = np.linalg.norm(
+        np.asarray(ours_xy)[0, :, :, :2] - ref_xy.numpy()[:, :, :2],
+        axis=-1)
+    cell = ((rois[:, 2] - rois[:, 0]) / hm)[:, None]
+    res["decode_worst_dist_px"] = float(dist.max())
+    res["decode_worst_dist_cells"] = float((dist / cell).max())
+    res["decode_median_dist_px"] = float(np.median(dist))
+    return res
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     runs = {}
@@ -356,6 +419,8 @@ def main():
         runs["retinanet_resnet50_fpn"] = retinanet_parity()
     if which in ("yolo", "all"):
         runs["yolov3"] = yolo_parity()
+    if which in ("keypoint", "all"):
+        runs["keypoint_branch"] = keypoint_parity()
     print(json.dumps(runs, indent=2, default=float))
     path = os.path.join(os.path.dirname(__file__),
                         "parity_results.json")

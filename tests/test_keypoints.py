@@ -58,11 +58,18 @@ def test_heatmaps_to_keypoints_argmax():
     boxes = jnp.array([[[10.0, 20.0, 26.0, 36.0]]])  # 16x16 box
     kps, scores = KP.heatmaps_to_keypoints(jnp.asarray(logits), boxes)
     kk = np.asarray(kps)[0, 0]
-    np.testing.assert_allclose(kk[0, 0], 10 + (5 + 0.5) / 8 * 16,
-                               rtol=1e-5)
-    np.testing.assert_allclose(kk[0, 1], 20 + (3 + 0.5) / 8 * 16,
-                               rtol=1e-5)
-    assert np.asarray(scores)[0, 0, 0] > 0.9
+    # the 4x bicubic refinement localizes within half a heatmap cell of
+    # the planted cell's center (the reference resizes per-roi instead;
+    # see the docstring + parity/run_parity.py keypoint_parity)
+    cell = 16 / 8
+    assert abs(kk[0, 0] - (10 + (5 + 0.5) / 8 * 16)) <= cell / 2
+    assert abs(kk[0, 1] - (20 + (3 + 0.5) / 8 * 16)) <= cell / 2
+    assert np.asarray(scores)[0, 0, 0] > 0.5
+    # upsample=1 reproduces the coarse grid argmax exactly
+    kps1, _ = KP.heatmaps_to_keypoints(jnp.asarray(logits), boxes,
+                                       upsample=1)
+    np.testing.assert_allclose(np.asarray(kps1)[0, 0, 0, 0],
+                               10 + (5 + 0.5) / 8 * 16, rtol=1e-5)
 
 
 def test_keypoint_head_shapes():
