@@ -140,11 +140,14 @@ def _roi_align_kernel(wins_ref, geom_ref, canvas_ref, out_ref,
         return a, b, wa, wb
 
     # stage 1 — y interpolation: t2[cols, k, :] per y-sample k
+    # (t2 stays f32: bf16 scratch was measured SLOWER — packed (2,1)
+    # sublane writes under dynamic indexing cost more than the saved
+    # VMEM traffic)
     for k in range(ns):
         ya, yb, wa, wb = rel(k, y1, bin_h, hl, wr, WIN)
         rows = (win_buf[slot, ya].astype(jnp.float32) * wa
                 + win_buf[slot, yb].astype(jnp.float32) * wb)
-        t2_buf[:, k, :] = rows                         # [WINX(cols), C]
+        t2_buf[:, k, :] = rows
 
     # stage 2 — x interpolation + srat x srat bin average
     inv = 1.0 / (srat * srat)
