@@ -279,12 +279,14 @@ def run_serving(n_requests=256, img_size=640, yolo_bs=32, retina_bs=8):
     return n_requests / dt
 
 
-def run_nms_latency(bs=64, n_cand=256, max_det=100, num_classes=80,
-                    iters=30):
+def run_nms_latency(bs=512, n_cand=256, max_det=100, num_classes=80,
+                    iters=20):
     """BASELINE named metric: p50 NMS latency per image. Times the
     batched majority-vote NMS (the YOLO production variant) standalone
     on device-resident candidates; reports the median per-iteration
-    batch time divided by batch size, in microseconds."""
+    batch time divided by batch size, in microseconds. bs is large so
+    per-dispatch relay overhead (~15ms) stays below the kernel's own
+    execution time."""
     rng = np.random.RandomState(5)
     xy = rng.rand(bs, n_cand, 2) * 600
     wh = rng.rand(bs, n_cand, 2) * 120 + 1

@@ -184,9 +184,9 @@ def nms(
     """
     s = scores if valid is None else jnp.where(valid, scores, -jnp.inf)
     if method == "auto":
-        # the blocked loop runs ~K/3 sequential steps; the fixed point
-        # ~chain-depth matvecs. Large K → fixed point wins.
-        method = "fixedpoint" if max_output >= 128 else "block"
+        # the fixed point (~chain-depth matvecs) beats the K/3-step
+        # blocked loop at every measured (N, K) on TPU and CPU
+        method = "fixedpoint"
     if method == "fixedpoint":
         keep_idx, out_valid = _fixedpoint_nms(boxes, s, iou_threshold,
                                               max_output)
@@ -316,7 +316,8 @@ def nms_majority(
     s = scores if valid is None else jnp.where(valid, scores, -jnp.inf)
     labels_in = class_ids.astype(jnp.int32)
     if method == "auto":
-        method = "fixedpoint" if max_output >= 128 else "scan"
+        # 512x256->100 on a v5e chip: scan 182us/img, fixed point 19.6us
+        method = "fixedpoint"
     if method == "fixedpoint":
         return _majority_nms_fixedpoint(boxes, s, labels_in, num_classes,
                                         iou_threshold, max_output)
