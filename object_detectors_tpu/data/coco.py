@@ -183,26 +183,60 @@ def yolo_batches(
 def _prefetched(fn, starts, depth):
     """Background-thread prefetch (DataLoader-worker stand-in). Worker
     exceptions re-raise in the consumer — a swallowed error would
-    silently truncate the epoch."""
+    silently truncate the epoch.
+
+    Close-aware: if the consumer abandons iteration (break / exception /
+    GC of the generator), the worker is cancelled and joined instead of
+    blocking forever in ``q.put`` on the bounded queue (the round-2
+    SIGABRT: leaked workers accumulated across a pytest process)."""
     q: queue.Queue = queue.Queue(maxsize=depth)
     stop = object()
+    cancel = threading.Event()
     err: list[BaseException] = []
 
     def worker():
         try:
             for s in starts:
-                q.put(fn(s))
+                if cancel.is_set():
+                    return
+                item = fn(s)
+                while True:
+                    if cancel.is_set():
+                        return
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
         except BaseException as e:  # noqa: BLE001 — propagate to consumer
             err.append(e)
         finally:
-            q.put(stop)
+            # stop must reach a live consumer even through a full queue;
+            # a cancelled consumer no longer needs it.
+            while not cancel.is_set():
+                try:
+                    q.put(stop, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is stop:
-            if err:
-                raise err[0]
-            break
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is stop:
+                if err:
+                    raise err[0]
+                break
+            yield item
+    finally:
+        cancel.set()
+        # Drain so a put blocked on a full queue observes cancel quickly,
+        # then join; a worker mid-fn() finishes its batch and exits.
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
+        t.join(timeout=10.0)

@@ -344,6 +344,53 @@ def multiscale_roi_align_flat(
     return jnp.mean(out, axis=(3, 4))
 
 
+def _pool_canvas_batched(features, boxes, image_size, output_size,
+                         sampling_ratio):
+    return jax.vmap(
+        lambda fs, bx: multiscale_roi_align_canvas(
+            fs, bx, image_size, output_size, sampling_ratio)
+    )(tuple(features), boxes)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _pool_pallas(features, boxes, image_size, output_size,
+                 sampling_ratio, interpret=False):
+    """Pallas window-DMA pooler with a differentiable backward.
+
+    pallas_call has no VJP, so jax.grad through the raw kernel raises;
+    R-CNN training differentiates through the pooler (trainer step over
+    FasterRCNN/MaskRCNN/KeypointRCNN train=True branches). Forward runs
+    the fast Pallas hybrid; backward is the VJP of the numerically
+    identical canvas-gather formulation (same math, XLA scatter-add)."""
+    from object_detectors_tpu.kernels.roi_align_pallas import (
+        multiscale_roi_align_hybrid,
+    )
+
+    return multiscale_roi_align_hybrid(
+        tuple(features), boxes, image_size, output_size, sampling_ratio,
+        interpret=interpret)
+
+
+def _pool_pallas_fwd(features, boxes, image_size, output_size,
+                     sampling_ratio, interpret=False):
+    out = _pool_pallas(features, boxes, image_size, output_size,
+                       sampling_ratio, interpret)
+    return out, (tuple(features), boxes)
+
+
+def _pool_pallas_bwd(image_size, output_size, sampling_ratio, interpret,
+                     res, g):
+    features, boxes = res
+    primal, vjp = jax.vjp(
+        lambda fs, bx: _pool_canvas_batched(
+            fs, bx, image_size, output_size, sampling_ratio),
+        features, boxes)
+    return vjp(g.astype(primal.dtype))
+
+
+_pool_pallas.defvjp(_pool_pallas_fwd, _pool_pallas_bwd)
+
+
 def pool_multiscale(features, boxes, image_size, output_size=(7, 7),
                     sampling_ratio: int = 2, method: str = "auto"):
     """Batched pooler dispatch: features per level [B, H_l, W_l, C],
@@ -352,20 +399,18 @@ def pool_multiscale(features, boxes, image_size, output_size=(7, 7),
     method "auto" picks the Pallas window kernel (+exact gather fix-up,
     kernels/roi_align_pallas.py) on real TPUs and the XLA canvas gather
     elsewhere (CPU tests, interpret-unfriendly paths). All variants are
-    numerically identical (tests/test_roi_align_pallas.py)."""
+    numerically identical up to the Pallas output cast to the feature
+    dtype (tests/test_roi_align_pallas.py); the canvas path stays f32.
+    The Pallas path is differentiable via a custom VJP whose backward is
+    the canvas formulation's VJP."""
     import jax as _jax
 
     if method == "auto":
         platform = _jax.devices()[0].platform
         method = "pallas" if platform == "tpu" else "canvas"
     if method == "pallas":
-        from object_detectors_tpu.kernels.roi_align_pallas import (
-            multiscale_roi_align_hybrid,
-        )
-
-        return multiscale_roi_align_hybrid(
-            tuple(features), boxes, image_size, output_size,
-            sampling_ratio)
+        return _pool_pallas(tuple(features), boxes, image_size,
+                            tuple(output_size), sampling_ratio)
     pool = {"canvas": multiscale_roi_align_canvas,
             "flat": multiscale_roi_align_flat}[method]
     return jax.vmap(

@@ -60,6 +60,93 @@ def sobol_candidates(space: dict, n: int, seed: int = 0):
     return out
 
 
+def _encode(params_spec: dict, cand: dict) -> np.ndarray:
+    """Candidate dict -> normalized [0,1]^d vector (choice params map to
+    their value's index / (n-1))."""
+    x = []
+    for k, spec in params_spec.items():
+        if spec["type"] == "range":
+            lo, hi = spec["bounds"]
+            x.append((cand[k] - lo) / max(hi - lo, 1e-12))
+        else:
+            vals = spec["values"]
+            x.append(vals.index(cand[k]) / max(len(vals) - 1, 1))
+    return np.asarray(x, np.float64)
+
+
+def gp_propose(history: list, space: dict, rng: np.random.RandomState,
+               pool: int = 512):
+    """Model-based proposer: GP posterior + Expected Improvement.
+
+    The reference runs Ax's model-based Bayesian optimization
+    (`yolo/test.py:19-78` + hydra-ax-sweeper `hydra/hyperopt.yaml:27-41`,
+    GP-EI after its Sobol init phase). This is the same loop without the
+    Ax service: RBF-kernel GP fit on the normalized trial points
+    (lengthscale picked from a small grid by marginal likelihood), EI
+    maximized over a Sobol candidate pool.
+    """
+    params_spec = space["params"]
+    X = np.stack([_encode(params_spec, h["params"]) for h in history])
+    y = np.asarray([h["score"] for h in history], np.float64)
+    # Failed trials carry the -1e7 sentinel; clamp to slightly below the
+    # worst real score so they repel without flattening the GP.
+    real = y > -1e6
+    floor = (y[real].min() if real.any() else 0.0) - 1.0
+    y = np.where(real, y, floor)
+    mu, sd = y.mean(), max(y.std(), 1e-9)
+    yn = (y - mu) / sd
+
+    d2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(-1)
+    best_ll, best = -np.inf, None
+    for ls in (0.1, 0.2, 0.3, 0.5, 0.7, 1.0, 2.0):
+        K = np.exp(-0.5 * d2 / ls**2) + 1e-4 * np.eye(len(X))
+        try:
+            L = np.linalg.cholesky(K)
+        except np.linalg.LinAlgError:
+            continue
+        a = np.linalg.solve(L.T, np.linalg.solve(L, yn))
+        ll = (-0.5 * yn @ a - np.log(np.diag(L)).sum())
+        if ll > best_ll:
+            best_ll, best = ll, (ls, L, a)
+    if best is None:  # degenerate data — caller falls back to Sobol
+        return None
+    ls, L, a = best
+
+    # Candidate pool: global Sobol + local perturbations around the best
+    # trials (Ax's acquisition optimizer also restarts from incumbents;
+    # a pure global pool under-exploits in 10-D at small trial counts).
+    cands = sobol_candidates(space, pool // 2,
+                             seed=int(rng.randint(1 << 30)))
+    order = np.argsort(-y)
+    for rank in range(min(3, len(order))):
+        inc = history[int(order[rank])]["params"]
+        for scale in (0.02, 0.05, 0.1, 0.2):
+            for _ in range(pool // 16):
+                cands.append(perturb(inc, space, rng, scale=scale))
+    Xc = np.stack([_encode(params_spec, c) for c in cands])
+    kx = np.exp(-0.5 * ((Xc[:, None, :] - X[None, :, :]) ** 2).sum(-1)
+                / ls**2)                                   # [pool, n]
+    mean = kx @ a
+    v = np.linalg.solve(L, kx.T)                           # [n, pool]
+    var = np.maximum(1.0 - (v**2).sum(0), 1e-12)
+    std = np.sqrt(var)
+    y_best = yn.max()
+    z = (mean - y_best - 0.01) / std  # small xi: favor exploitation
+    # EI = std * (z * Phi(z) + phi(z))
+    phi = np.exp(-0.5 * z**2) / np.sqrt(2 * np.pi)
+    Phi = 0.5 * (1.0 + _erf(z / np.sqrt(2.0)))
+    ei = std * (z * Phi + phi)
+    return cands[int(np.argmax(ei))]
+
+
+def _erf(x):
+    try:
+        from scipy.special import erf
+        return erf(x)
+    except Exception:  # pragma: no cover — scipy is in the image
+        return np.vectorize(__import__("math").erf)(x)
+
+
 def perturb(incumbent: dict, space: dict, rng: np.random.RandomState,
             scale: float = 0.15):
     """Gaussian resample around the best candidate (exploit phase)."""
@@ -115,18 +202,34 @@ def one_epoch_objective(cfg: Config) -> float:
 
 def run_sweep(config_dir: str, overrides, max_trials: int | None = None,
               space_name: str = "opt1", out_csv: str = "sweep_results.csv",
-              objective=one_epoch_objective, seed: int = 0):
+              objective=one_epoch_objective, seed: int = 0,
+              proposer: str = "gp", n_init: int | None = None):
+    """proposer: 'gp' (Sobol init then GP-EI — the Ax model-based loop),
+    'sobol' (pure quasi-random search), or 'perturb' (Sobol +
+    incumbent perturbation, the round-1 behavior)."""
     space = load_space(config_dir, space_name)
     n = max_trials or int(space.get("max_trials", 20))
-    n_sobol = max(n // 2, 1)
+    d = len(space["params"])
+    k_init = n_init if n_init is not None else max(5, min(d, n // 2))
+    if proposer == "sobol":
+        n_sobol = n
+    elif proposer == "perturb":
+        n_sobol = max(n // 2, 1)
+    else:
+        n_sobol = min(k_init, n)
     rng = np.random.RandomState(seed)
     candidates = sobol_candidates(space, n_sobol, seed)
 
     best_score, best_params = -np.inf, None
     rows = []
+    history = []
     for trial in range(n):
         if trial < len(candidates):
             params = candidates[trial]
+        elif proposer == "gp":
+            params = gp_propose(history, space, rng)
+            if params is None:
+                params = perturb(best_params or candidates[0], space, rng)
         else:
             params = perturb(best_params or candidates[0], space, rng)
         trial_overrides = list(overrides) + [
@@ -134,6 +237,7 @@ def run_sweep(config_dir: str, overrides, max_trials: int | None = None,
         cfg = load_config(config_dir, trial_overrides)
         score = objective(cfg)
         rows.append({**params, "score": score, "trial": trial})
+        history.append({"params": params, "score": score})
         if score > best_score:
             best_score, best_params = score, params
         log.info("trial %d score=%.5f best=%.5f", trial, score, best_score)
@@ -156,11 +260,12 @@ def main(argv=None):
     ap.add_argument("--max-trials", type=int, default=None)
     ap.add_argument("--space", default="opt1")
     ap.add_argument("--out", default="sweep_results.csv")
+    ap.add_argument("--proposer", default="gp", choices=["gp", "sobol"])
     args = ap.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     best_params, best_score, _ = run_sweep(
         args.config_dir, args.overrides, args.max_trials, args.space,
-        args.out)
+        args.out, proposer=args.proposer)
     print(f"best score {best_score:.5f} with {best_params}")
 
 

@@ -164,4 +164,52 @@ def test_sweep_loop_with_fake_objective(tmp_path):
     assert (tmp_path / "sweep.csv").exists()
 
 
+def test_gp_proposer_beats_sobol_on_toy_objective(tmp_path):
+    """VERDICT r2 item 9: model-based proposer (GP-EI, the Ax loop of
+    yolo/test.py) must beat plain Sobol at equal trial count on a toy
+    objective over the real opt1 space."""
+    from object_detectors_tpu import sweep as S
+
+    config_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "configs")
+
+    target = {"yolo.lambda_xy": 1.7, "yolo.lambda_iou": 3.3,
+              "yolo.gamma": 1.1}
+
+    def objective(cfg):
+        return -sum((float(getattr(cfg.yolo, k.split(".")[1])) - v) ** 2
+                    for k, v in target.items())
+
+    gp, sobol = [], []
+    for seed in (0, 1):
+        common = dict(max_trials=18, out_csv=None, objective=objective,
+                      seed=seed)
+        _, best_gp, _ = S.run_sweep(
+            config_dir, ["dataset=synthetic", "backbone=tiny"],
+            proposer="gp", **common)
+        _, best_sobol, _ = S.run_sweep(
+            config_dir, ["dataset=synthetic", "backbone=tiny"],
+            proposer="sobol", **common)
+        gp.append(best_gp)
+        sobol.append(best_sobol)
+    assert np.isfinite(gp).all()
+    assert np.mean(gp) > np.mean(sobol)
+
+
+def test_gp_propose_unit():
+    from object_detectors_tpu import sweep as S
+
+    space = {"params": {
+        "a": {"type": "range", "bounds": [0.0, 1.0]},
+        "c": {"type": "choice", "values": [0, 1, 2]},
+    }}
+    rng = np.random.RandomState(0)
+    hist = [{"params": {"a": x, "c": 0}, "score": -(x - 0.6) ** 2}
+            for x in (0.0, 0.25, 0.5, 0.9)]
+    hist.append({"params": {"a": 0.1, "c": 1}, "score": -1e7})  # failed
+    cand = S.gp_propose(hist, space, rng)
+    assert cand is not None
+    assert 0.0 <= cand["a"] <= 1.0 and cand["c"] in (0, 1, 2)
+
+
 import os  # noqa: E402

@@ -65,6 +65,57 @@ def test_sharding_partitions_all_items(synth):
     assert set(seen) == set(range(10))
 
 
+def test_abandoned_iterator_leaks_no_worker_threads(synth):
+    """Breaking out of a batch iterator must cancel + join its prefetch
+    worker (round-2 SIGABRT root cause: workers blocked forever in
+    queue.put accumulated across the pytest process)."""
+    import gc
+    import threading
+
+    gt, ds = synth
+    before = threading.active_count()
+    it = D.yolo_batches(ds, batch_size=2, inp_dim=64, max_boxes=8,
+                        prefetch=1)
+    next(it)  # worker is live and blocked on the depth-1 queue
+    it.close()  # explicit close; same path as break / GC
+    del it
+    gc.collect()
+    deadline = 5.0
+    import time
+    t0 = time.monotonic()
+    while threading.active_count() > before:
+        if time.monotonic() - t0 > deadline:
+            break
+        time.sleep(0.01)
+    assert threading.active_count() <= before
+
+    # Abandonment via plain GC (no explicit close) must also clean up.
+    it2 = D.yolo_batches(ds, batch_size=2, inp_dim=64, max_boxes=8,
+                         prefetch=1)
+    next(it2)
+    del it2
+    gc.collect()
+    t0 = time.monotonic()
+    while threading.active_count() > before:
+        if time.monotonic() - t0 > deadline:
+            break
+        time.sleep(0.01)
+    assert threading.active_count() <= before
+
+
+def test_prefetched_worker_error_propagates(synth):
+    def boom(i0):
+        if i0 >= 2:
+            raise RuntimeError("worker failed")
+        return i0
+
+    out = []
+    with pytest.raises(RuntimeError, match="worker failed"):
+        for x in D._prefetched(boom, range(0, 6, 2), depth=1):
+            out.append(x)
+    assert out == [0]
+
+
 def test_perfect_model_gets_map_one(synth):
     """Convert GT through the batch pipeline and back via the evaluator:
     the whole coordinate round-trip must preserve mAP = 1.0."""

@@ -55,3 +55,29 @@ def test_hybrid_pooler_exact_with_extreme_aspects():
                                       interpret=True)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_pooler_is_differentiable_via_canvas_vjp():
+    """ADVICE r2 (high): R-CNN training differentiates through the
+    pooler; the Pallas path must carry a custom VJP (canvas backward)
+    instead of raising NotImplementedError."""
+    from object_detectors_tpu.ops.roi_align import (
+        _pool_pallas, _pool_canvas_batched,
+    )
+
+    feats, boxes = _setup(seed=7, b=1, n=8, size=64, c=4)
+    bj = jnp.asarray(boxes)
+
+    def loss_pallas(fs):
+        out = _pool_pallas(fs, bj, (64, 64), (7, 7), 2, True)
+        return jnp.sum(out * out)
+
+    def loss_canvas(fs):
+        out = _pool_canvas_batched(fs, bj, (64, 64), (7, 7), 2)
+        return jnp.sum(out * out)
+
+    g_p = jax.grad(loss_pallas)(feats)
+    g_c = jax.grad(loss_canvas)(feats)
+    for a, b in zip(g_p, g_c):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
