@@ -153,6 +153,90 @@ def heatmaps_to_keypoints(kp_logits, boxes, upsample: int = 4):
     return kps, scores
 
 
+def _cubic_kernel(t, a: float = -0.75):
+    """Cubic convolution kernel (Keys, a=-0.75) — the kernel PyTorch's
+    upsample_bicubic2d uses (roi_heads.py:311 F.interpolate bicubic)."""
+    at = jnp.abs(t)
+    return jnp.where(
+        at <= 1.0, ((a + 2.0) * at - (a + 3.0)) * at * at + 1.0,
+        jnp.where(at < 2.0,
+                  a * (((at - 5.0) * at + 8.0) * at - 4.0), 0.0))
+
+
+def _bicubic_rows(out_size, n_in: int, n_out_max: int):
+    """[n_out_max, n_in] sampling matrix of PyTorch bicubic interpolate
+    (align_corners=False, border-clamped taps) for a *traced* output size
+    ``out_size``; rows >= out_size are don't-care (masked by the caller).
+
+    Row i samples the input at (i + 0.5) * n_in/out_size - 0.5 with four
+    taps at floor-1..floor+2, indices clamped to [0, n_in)."""
+    i = jnp.arange(n_out_max, dtype=jnp.float32)
+    center = (i + 0.5) * (n_in / out_size) - 0.5
+    i0 = jnp.floor(center)
+    t = center - i0
+    ws = jnp.stack([_cubic_kernel(t + 1.0), _cubic_kernel(t),
+                    _cubic_kernel(t - 1.0), _cubic_kernel(t - 2.0)], -1)
+    taps = jnp.clip(i0[:, None] + jnp.arange(-1.0, 3.0)[None, :],
+                    0.0, n_in - 1.0)                       # [n_out_max, 4]
+    m = jnp.arange(n_in, dtype=jnp.float32)
+    return jnp.sum(
+        ws[:, :, None] * (taps[:, :, None] == m[None, None, :]),
+        axis=1)                                            # [n_out_max, n_in]
+
+
+@partial(jax.jit, static_argnames=("max_roi_size",))
+def heatmaps_to_keypoints_exact(kp_logits, boxes,
+                                max_roi_size: int = 512):
+    """EXACT static-shape equivalent of the reference decode
+    (roi_heads.py:303-328): bicubic-resize each heatmap to its RoI's own
+    ceil(w) x ceil(h) pixel grid, row-major argmax, coords
+    (idx + 0.5) * (w / ceil(w)) + x1, score = the interpolated logit at
+    the peak.
+
+    The data-dependent resize becomes two matmuls against per-RoI
+    sampling matrices with a static ``max_roi_size`` row budget: the
+    bicubic kernel is separable, so the RoI size only changes the sample
+    positions (the matrix values), never the shapes. Exact for RoIs up to
+    ``max_roi_size`` px per side (larger RoIs decode on the capped grid
+    — sub-cell-accurate but not bit-exact; raise the cap for parity runs
+    on larger images).
+
+    kp_logits [B, D, H, H, K] + boxes [B, D, 4] ->
+    (keypoints [B, D, K, 3] (x, y, 1), scores [B, D, K] raw logits)."""
+    b, d, hm, _, k = kp_logits.shape
+    n = max_roi_size
+
+    def per_det(args):
+        logits, box = args                     # [H, H, K], [4]
+        x1, y1 = box[0], box[1]
+        w = jnp.clip(box[2] - box[0], 1.0)
+        h = jnp.clip(box[3] - box[1], 1.0)
+        wc = jnp.minimum(jnp.ceil(w), n)
+        hc = jnp.minimum(jnp.ceil(h), n)
+        ky = _bicubic_rows(hc, hm, n)          # [n, hm]
+        kx = _bicubic_rows(wc, hm, n)          # [n, hm]
+        maps = logits.astype(jnp.float32).transpose(2, 0, 1)  # [K, H, H]
+        tmp = jnp.einsum("yh,khw->kyw", ky, maps)
+        s = jnp.einsum("kyw,xw->kyx", tmp, kx)               # [K, n, n]
+        i = jnp.arange(n, dtype=jnp.float32)
+        valid = (i[:, None] < hc) & (i[None, :] < wc)
+        masked = jnp.where(valid[None], s, -jnp.inf)
+        pos = jnp.argmax(masked.reshape(k, -1), axis=1)
+        x_int = (pos % n).astype(jnp.float32)
+        y_int = (pos // n).astype(jnp.float32)
+        x = (x_int + 0.5) * (w / wc) + x1
+        y = (y_int + 0.5) * (h / hc) + y1
+        score = jnp.take_along_axis(
+            s.reshape(k, -1), pos[:, None], axis=1)[:, 0]
+        kps = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
+        return kps, score
+
+    flat_logits = kp_logits.reshape(b * d, hm, hm, k)
+    flat_boxes = boxes.reshape(b * d, 4)
+    kps, scores = jax.lax.map(per_det, (flat_logits, flat_boxes))
+    return (kps.reshape(b, d, k, 3), scores.reshape(b, d, k))
+
+
 @dataclasses.dataclass(frozen=True)
 class KeypointRCNNConfig:
     num_classes: int = 2           # person vs background (coco_kp)
@@ -267,5 +351,6 @@ class KeypointRCNN(nn.Module):
             (img_h, img_w), cfg.roi,
             tfidf_post=1.0 if tfidf is None else tfidf)
         kp_logits = self._kp_branch(feats, boxes, img_h, img_w, b)
-        keypoints, kp_scores = heatmaps_to_keypoints(kp_logits, boxes)
+        keypoints, kp_scores = heatmaps_to_keypoints_exact(
+            kp_logits, boxes)
         return boxes, scores, labels, valid, keypoints, kp_scores

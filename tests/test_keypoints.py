@@ -163,3 +163,50 @@ def test_keypointrcnn_e2e_train_and_oks_eval():
         "--max-boxes", "8", "--small",
         "--output-dir", "/tmp/kprcnn_e2e_test"])
     assert out is not None
+
+
+def test_heatmaps_to_keypoints_exact_matches_torch():
+    """VERDICT r2 item 7: the exact decode must reproduce the
+    reference's per-RoI data-dependent bicubic resize + argmax
+    (roi_heads.py:303-328) bit-for-cell: same argmax cell, same
+    (idx+0.5)*w/ceil(w)+x1 coordinates, same peak logit score."""
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(42)
+    hm, k = 56, 4
+    boxes_np = np.array([
+        [10.3, 20.7, 150.9, 310.2],    # tall person-ish box
+        [0.0, 0.0, 33.4, 41.9],        # small box (< heatmap size)
+        [5.0, 5.0, 6.2, 505.0],        # extreme aspect
+        [100.0, 100.0, 499.0, 480.0],  # large box
+    ], np.float32)
+    d = len(boxes_np)
+    logits_np = rng.randn(1, d, hm, hm, k).astype(np.float32)
+
+    kps, scores = KP.heatmaps_to_keypoints_exact(
+        jnp.asarray(logits_np), jnp.asarray(boxes_np)[None])
+    kps = np.asarray(kps)[0]
+    scores = np.asarray(scores)[0]
+
+    for i, box in enumerate(boxes_np):
+        x1, y1, x2, y2 = box
+        w = max(x2 - x1, 1.0)
+        h = max(y2 - y1, 1.0)
+        W, H = int(np.ceil(w)), int(np.ceil(h))
+        maps = torch.from_numpy(
+            logits_np[0, i].transpose(2, 0, 1))[None]    # [1, K, hm, hm]
+        roi_map = F.interpolate(maps, size=(H, W), mode="bicubic",
+                                align_corners=False)[0]  # [K, H, W]
+        pos = roi_map.reshape(k, -1).argmax(dim=1).numpy()
+        x_int = pos % W
+        y_int = pos // W
+        ref_x = (x_int + 0.5) * (w / W) + x1
+        ref_y = (y_int + 0.5) * (h / H) + y1
+        ref_s = roi_map.reshape(k, -1).numpy()[np.arange(k), pos]
+        np.testing.assert_allclose(kps[i, :, 0], ref_x, rtol=1e-4,
+                                   atol=1e-3)
+        np.testing.assert_allclose(kps[i, :, 1], ref_y, rtol=1e-4,
+                                   atol=1e-3)
+        np.testing.assert_allclose(scores[i], ref_s, rtol=1e-3,
+                                   atol=1e-3)
