@@ -52,11 +52,15 @@ PER_CHIP_TARGET = 500.0  # 4000 imgs/sec on v5e-8 => 500/chip
 
 
 def build_pipeline(num_classes=80, img_size=640, topk=256, max_det=100,
-                   dtype=jnp.bfloat16, conf=0.1, iou_thr=0.6):
+                   dtype=jnp.bfloat16, conf=0.1, iou_thr=0.6,
+                   variables=None, backbone_layers=None):
     cfg = YC.YoloLossConfig(num_classes=num_classes, img_size=img_size)
-    model = YoloHead(num_classes=num_classes, dtype=dtype)
-    x0 = jnp.zeros((1, img_size, img_size, 3), dtype)
-    variables = model.init(jax.random.key(0), x0, train=False)
+    extra = {} if backbone_layers is None else {
+        "backbone_layers": tuple(backbone_layers)}
+    model = YoloHead(num_classes=num_classes, dtype=dtype, **extra)
+    if variables is None:
+        x0 = jnp.zeros((1, img_size, img_size, 3), dtype)
+        variables = model.init(jax.random.key(0), x0, train=False)
 
     @jax.jit
     def infer(images):
@@ -260,15 +264,14 @@ def run_serving(n_requests=256, img_size=640, yolo_bs=32, retina_bs=8):
         pipelines, {"yolo": yolo_bs, "retinanet": retina_bs},
         input_dtype=jnp.uint8)
     rng = np.random.RandomState(4)
-    # device-stage a pool of distinct images OUTSIDE the timed window
-    # (per-request H2D through the dev relay runs ~50 MB/s and would
-    # measure the tunnel, not the scheduler+TPU)
-    pool = [jax.device_put(rng.randint(0, 255,
-                                       (img_size, img_size, 3),
-                                       dtype=np.uint8))
-            for _ in range(32)]
-    reqs = [S.Request(i, "yolo" if i % 5 else "retinanet",
-                      pool[i % len(pool)])
+    # device-stage ONE image pool tensor OUTSIDE the timed window; the
+    # timed stream submits slot indices, so each flush is a single fused
+    # gather+infer dispatch with one packed result fetch (per-request
+    # H2D through the dev relay runs ~50 MB/s and would measure the
+    # tunnel, not the scheduler+TPU)
+    server.stage_pool(rng.randint(
+        0, 255, (32, img_size, img_size, 3), dtype=np.uint8))
+    reqs = [S.Request(i, "yolo" if i % 5 else "retinanet", i % 32)
             for i in range(n_requests)]
     # warmup compiles
     server.run_stream(reqs[: yolo_bs + retina_bs])
@@ -287,28 +290,59 @@ def run_nms_latency(bs=512, n_cand=256, max_det=100, num_classes=80,
     batch time divided by batch size, in microseconds. bs is large so
     per-dispatch relay overhead (~15ms) stays below the kernel's own
     execution time."""
-    rng = np.random.RandomState(5)
-    xy = rng.rand(bs, n_cand, 2) * 600
-    wh = rng.rand(bs, n_cand, 2) * 120 + 1
-    boxes = jnp.asarray(
-        np.concatenate([xy, xy + wh], -1).astype(np.float32))
-    scores = jnp.asarray(rng.rand(bs, n_cand).astype(np.float32))
-    labels = jnp.asarray(rng.randint(0, num_classes, (bs, n_cand)))
+    def uniform(rng):
+        xy = rng.rand(bs, n_cand, 2) * 600
+        wh = rng.rand(bs, n_cand, 2) * 120 + 1
+        return np.concatenate([xy, xy + wh], -1).astype(np.float32)
+
+    def clustered(rng):
+        """Crowded-scene candidates (the reference's motivating case for
+        majority NMS): ~12 dense clusters per image -> deep suppression
+        chains."""
+        centers = rng.rand(bs, 12, 2) * 560 + 40
+        assign = rng.randint(0, 12, (bs, n_cand))
+        cxy = np.take_along_axis(centers, assign[..., None], axis=1)
+        jitter = rng.randn(bs, n_cand, 2) * 10
+        wh = rng.rand(bs, n_cand, 2) * 40 + 40
+        xy = cxy + jitter - wh / 2
+        return np.concatenate([xy, xy + wh], -1).astype(np.float32)
+
+    def adversarial(rng):
+        """Worst-case suppression chain: box i overlaps only box i+1;
+        fixed-point depth ~ n_cand, forcing the iteration-cap fallback
+        (ops/nms.py FIXEDPOINT_ITER_CAP)."""
+        x = np.arange(n_cand, dtype=np.float32) * 6.0
+        one = np.stack([x, np.zeros_like(x), x + 10,
+                        np.full_like(x, 10.0)], -1)
+        return np.tile(one[None], (bs, 1, 1))
 
     f = jax.jit(jax.vmap(lambda b, s, c: N.nms_majority(
         b, s, c, num_classes=num_classes, iou_threshold=0.6,
         max_output=max_det)))
-    for _ in range(3):
-        out = f(boxes, scores, labels)
-    float(np.asarray(out[1]).sum())
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        outs = [f(boxes, scores, labels) for _ in range(iters)]
-        s = float(np.asarray(outs[-1][1]).sum())
-        times.append((time.perf_counter() - t0) / iters)
-        del s
-    return float(np.median(times)) / bs * 1e6  # us/image
+
+    results = {}
+    for name, gen in (("uniform", uniform), ("clustered", clustered),
+                      ("adversarial", adversarial)):
+        rng = np.random.RandomState(5)
+        boxes = jnp.asarray(gen(rng))
+        scores = jnp.asarray(rng.rand(bs, n_cand).astype(np.float32))
+        labels = jnp.asarray(rng.randint(0, num_classes, (bs, n_cand)))
+        for _ in range(3):
+            out = f(boxes, scores, labels)
+        float(np.asarray(out[1]).sum())
+        times = []
+        for _ in range(7):
+            t0 = time.perf_counter()
+            outs = [f(boxes, scores, labels) for _ in range(iters)]
+            s = float(np.asarray(outs[-1][1]).sum())
+            times.append((time.perf_counter() - t0) / iters)
+            del s
+        times = np.sort(times)
+        results[name] = {
+            "p50_us": float(np.median(times)) / bs * 1e6,
+            "p99_us": float(times[-1]) / bs * 1e6,
+        }
+    return results
 
 
 def run_protocol(batch_sizes=(4, 8), img_size=416, num_images=64,
@@ -325,15 +359,38 @@ def run_protocol(batch_sizes=(4, 8), img_size=416, num_images=64,
     from object_detectors_tpu.data import synthetic
     from object_detectors_tpu.eval import evaluator as E
 
-    rng = np.random.RandomState(0)
-    gt = synthetic.make_coco_dicts(rng, num_images=num_images,
-                                   img_size=img_size, num_classes=80)
-    imgs = {im["id"]: np.random.RandomState(im["id"]).randint(
-        0, 255, (img_size, img_size, 3)).astype(np.uint8)
-        for im in gt["images"]}
-    ds = D.CocoDetectionDataset(gt, label_mode="lvis0",
-                                image_loader=lambda i: imgs[i["id"]])
-    infer = build_pipeline(img_size=img_size)
+    # Trained-weight artifact (analysis/make_artifacts.py): when present,
+    # the protocol scores the TRAINED tiny model on its renderable
+    # synthetic val set, so the mAP column is a real regression signal
+    # (the reference scores pretrained yolov3 on COCO-val,
+    # benchmark.py:128-143; this rig has no pretrained weights/egress).
+    from object_detectors_tpu.analysis.make_artifacts import (
+        load_yolo_artifact,
+    )
+
+    variables, meta = load_yolo_artifact()
+    if variables is not None:
+        img_size = meta["img_size"]
+        num_classes = meta["num_classes"]
+        gt, loader = synthetic.renderable_dataset(
+            np.random.RandomState(1), num_images=num_images,
+            img_size=96, num_classes=num_classes)
+        ds = D.CocoDetectionDataset(gt, label_mode="lvis0",
+                                    image_loader=loader)
+        infer = build_pipeline(
+            num_classes=num_classes, img_size=img_size, topk=64,
+            max_det=20, variables=variables,
+            backbone_layers=tuple(meta["backbone_layers"]))
+    else:
+        rng = np.random.RandomState(0)
+        gt = synthetic.make_coco_dicts(rng, num_images=num_images,
+                                       img_size=img_size, num_classes=80)
+        imgs = {im["id"]: np.random.RandomState(im["id"]).randint(
+            0, 255, (img_size, img_size, 3)).astype(np.uint8)
+            for im in gt["images"]}
+        ds = D.CocoDetectionDataset(gt, label_mode="lvis0",
+                                    image_loader=lambda i: imgs[i["id"]])
+        infer = build_pipeline(img_size=img_size)
 
     rows = []
     for bs in batch_sizes:
@@ -420,8 +477,13 @@ def main():
     if "yolo_lvis416" in wanted:
         configs["yolo_lvis416"] = {"value": round(run_yolo_lvis(), 2)}
     if not args.quick:
+        nms_res = run_nms_latency()
         configs["nms_p50_latency"] = {
-            "value": round(run_nms_latency(), 2), "unit": "us/image"}
+            "value": round(nms_res["uniform"]["p50_us"], 2),
+            "unit": "us/image",
+            "distributions": {
+                k: {m: round(x, 2) for m, x in v.items()}
+                for k, v in nms_res.items()}}
     if "serving" in wanted:
         try:
             configs["serving"] = {"value": round(run_serving(), 2)}

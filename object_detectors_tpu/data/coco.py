@@ -180,6 +180,88 @@ def yolo_batches(
         produce, range(0, len(order), batch_size), prefetch)
 
 
+def yolo_batches_uint8(
+    dataset: CocoDetectionDataset,
+    batch_size: int,
+    inp_dim: int,
+    canvas_size: int = 640,
+    max_boxes: int = 100,
+    shuffle: bool = False,
+    seed: int = 0,
+    process_index: int = 0,
+    process_count: int = 1,
+    prefetch: int = 2,
+) -> Iterator[dict]:
+    """Device-ingest batches: the host only DECODES — each raw uint8
+    image is placed top-left at native resolution in a fixed
+    [canvas_size]^2 canvas; the square bicubic resize + normalize run on
+    device (kernels/preprocess.resize_normalize_from_canvas), per the
+    BASELINE.json north star (host cv2 resize was the reference's path,
+    transformations.py:29). Images larger than the canvas are
+    host-downscaled to fit (rare on COCO val at 640).
+
+    Yields dicts like :func:`yolo_batches` but with uint8 ``images``
+    [B, C, C, 3], extra ``sizes`` [B, 2] (h, w) true sizes, and the
+    same relative GT / scale_factors contract (GT never needs pixels).
+    """
+    order = shard_indices(len(dataset), process_index, process_count,
+                          shuffle, seed)
+    cs = canvas_size
+
+    def produce(i0):
+        imgs, szs, bxs, lbs, vds, ids, scales = [], [], [], [], [], [], []
+        for idx in order[i0:i0 + batch_size]:
+            image, tgt = dataset[int(idx)]
+            h, w = image.shape[:2]
+            if h > cs or w > cs:  # host fallback downscale to fit
+                from PIL import Image
+
+                r = min(cs / h, cs / w)
+                nh, nw = max(int(h * r), 1), max(int(w * r), 1)
+                image = np.asarray(Image.fromarray(image).resize(
+                    (nw, nh), Image.BICUBIC))
+                h, w = nh, nw
+            canvas = np.zeros((cs, cs, 3), np.uint8)
+            canvas[:h, :w] = image
+            boxes = tgt["boxes_xywh"].astype(np.float32)
+            oh, ow = tgt["orig_size"]
+            if boxes.size:
+                cx = (boxes[:, 0] + boxes[:, 2] / 2) / ow
+                cy = (boxes[:, 1] + boxes[:, 3] / 2) / oh
+                rel = np.stack([cx, cy, boxes[:, 2] / ow,
+                                boxes[:, 3] / oh], 1)
+            else:
+                rel = np.zeros((0, 4), np.float32)
+            b, l, v = T.pad_targets(rel, tgt["labels"], max_boxes)
+            imgs.append(canvas)
+            szs.append((h, w))
+            bxs.append(b)
+            lbs.append(l)
+            vds.append(v)
+            ids.append(tgt["image_id"])
+            scales.append((ow / inp_dim, oh / inp_dim))
+        while len(imgs) < batch_size:
+            imgs.append(imgs[-1])
+            szs.append(szs[-1])
+            bxs.append(bxs[-1])
+            lbs.append(lbs[-1])
+            vds.append(np.zeros_like(vds[-1]))
+            ids.append(-1)
+            scales.append(scales[-1])
+        return {
+            "images": np.stack(imgs),
+            "sizes": np.array(szs, np.int32),
+            "gt_boxes": np.stack(bxs),
+            "gt_labels": np.stack(lbs),
+            "gt_valid": np.stack(vds),
+            "image_ids": np.array(ids, np.int64),
+            "scale_factors": np.array(scales, np.float32),
+        }
+
+    yield from _prefetched(
+        produce, range(0, len(order), batch_size), prefetch)
+
+
 def _prefetched(fn, starts, depth):
     """Background-thread prefetch (DataLoader-worker stand-in). Worker
     exceptions re-raise in the consumer — a swallowed error would

@@ -462,6 +462,10 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--small", action="store_true",
                     help="tiny model/backbone for smoke runs")
+    ap.add_argument("--renderable", action="store_true",
+                    help="synthetic images with drawn class-colored "
+                         "boxes (learnable signal) instead of noise — "
+                         "used to train the checked-in weight artifacts")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -484,8 +488,13 @@ def main(argv=None):
         imgs = {}
         for g in (gt_train, gt_val):
             for im in g["images"]:
-                imgs[(id(g), im["id"])] = np.random.RandomState(
-                    im["id"]).randint(0, 255, (96, 96, 3)).astype(np.uint8)
+                if args.renderable:
+                    imgs[(id(g), im["id"])] = synthetic.render_image(
+                        g, im["id"])
+                else:
+                    imgs[(id(g), im["id"])] = np.random.RandomState(
+                        im["id"]).randint(0, 255,
+                                          (96, 96, 3)).astype(np.uint8)
         train_ds = data_coco.CocoDetectionDataset(
             gt_train, label_mode="lvis0",
             image_loader=lambda i, g=gt_train: imgs[(id(g), i["id"])])

@@ -78,6 +78,66 @@ def preprocess_images(images, out_dtype=jnp.bfloat16):
     return preprocess_images_xla(images, out_dtype)
 
 
+def cubic_kernel(t, a: float = -0.75):
+    """Cubic convolution kernel (Keys). a=-0.75 matches cv2 INTER_CUBIC
+    and PyTorch bicubic — the reference's resize
+    (`yolo/dsets/transformations.py:29`)."""
+    at = jnp.abs(t)
+    return jnp.where(
+        at <= 1.0, ((a + 2.0) * at - (a + 3.0)) * at * at + 1.0,
+        jnp.where(at < 2.0,
+                  a * (((at - 5.0) * at + 8.0) * at - 4.0), 0.0))
+
+
+def bicubic_rows(scale, limit, n_in: int, n_out: int):
+    """[n_out, n_in] bicubic sampling matrix for a (possibly traced)
+    scale/limit: output row i samples input at (i + 0.5) * scale - 0.5,
+    4 taps at floor-1..floor+2 clamped to [0, limit) (border
+    replication). ``limit`` <= n_in masks a valid prefix of a padded
+    canvas; static shapes throughout."""
+    i = jnp.arange(n_out, dtype=jnp.float32)
+    center = (i + 0.5) * scale - 0.5
+    i0 = jnp.floor(center)
+    t = center - i0
+    ws = jnp.stack([cubic_kernel(t + 1.0), cubic_kernel(t),
+                    cubic_kernel(t - 1.0), cubic_kernel(t - 2.0)], -1)
+    taps = jnp.clip(i0[:, None] + jnp.arange(-1.0, 3.0)[None, :],
+                    0.0, limit - 1.0)                     # [n_out, 4]
+    m = jnp.arange(n_in, dtype=jnp.float32)
+    return jnp.sum(
+        ws[:, :, None] * (taps[:, :, None] == m[None, None, :]),
+        axis=1)                                           # [n_out, n_in]
+
+
+@partial(jax.jit, static_argnames=("out_dim", "out_dtype"))
+def resize_normalize_from_canvas(canvas: jnp.ndarray, sizes: jnp.ndarray,
+                                 out_dim: int,
+                                 out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Batched per-image square resize + normalize, fully on device.
+
+    canvas: [B, Hc, Wc, 3] uint8 — each image decoded on the host and
+    placed top-left at its NATIVE resolution (host keeps only JPEG
+    decode, per the BASELINE.json north star). sizes: [B, 2] (h, w) true
+    sizes. Each image bicubic-resizes (a=-0.75, the reference's cv2
+    INTER_CUBIC square-resize semantics, transformations.py:29) from its
+    own (h, w) to (out_dim, out_dim) via two matmuls against per-image
+    sampling matrices — per-image scale changes only the matrix values,
+    never the shapes — then /255 + ImageNet-normalize fuse into the
+    epilogue."""
+    b, hc, wc, c = canvas.shape
+    h = sizes[:, 0].astype(jnp.float32)
+    w = sizes[:, 1].astype(jnp.float32)
+    ky = jax.vmap(lambda hh: bicubic_rows(hh / out_dim, hh, hc,
+                                          out_dim))(h)   # [B, out, Hc]
+    kx = jax.vmap(lambda ww: bicubic_rows(ww / out_dim, ww, wc,
+                                          out_dim))(w)   # [B, out, Wc]
+    x = canvas.astype(jnp.float32)
+    x = jnp.einsum("boh,bhwc->bowc", ky, x)
+    x = jnp.einsum("bowc,bpw->bopc", x, kx)
+    x = (x * (1.0 / 255.0) - jnp.asarray(_MEAN)) / jnp.asarray(_STD)
+    return x.astype(out_dtype)
+
+
 @partial(jax.jit, static_argnames=("out_hw", "out_dtype", "antialias"))
 def resize_normalize_images(images: jnp.ndarray, out_hw: tuple,
                             out_dtype=jnp.bfloat16,

@@ -60,15 +60,22 @@ def _axis_sample(k, origin, bin_sz, limit, srat):
 
 
 def _roi_align_kernel(wins_ref, geom_ref, canvas_ref, out_ref,
-                      win_buf, t2_buf, sems, *, n_rois, c, oh, ow, srat,
+                      win_buf, sems, *, n_rois, c, oh, ow, srat,
                       debug="full"):
-    """One grid step = one RoI. wins_ref [N*2] i32 SMEM (canvas window
-    row, 8-aligned window col); geom_ref [N*8] f32 SMEM (y1, x1, bin_h,
-    bin_w, H_l, W_l, win_row_rel, win_col_rel_aligned) — flattened 1D
-    because SMEM pads the minor dim of 2D arrays to 128 lanes."""
+    """One grid step = one RoI. wins_ref [N*3] i32 SMEM (canvas window
+    row, 8-aligned window col, small-window flag); geom_ref [N*8] f32
+    SMEM (y1, x1, bin_h, bin_w, H_l, W_l, win_row_rel,
+    win_col_rel_aligned) — flattened 1D because SMEM pads the minor dim
+    of 2D arrays to 128 lanes.
+
+    Compute structure (v3): for each output row i the srat y-samples are
+    folded into ONE [win_cols, C] row read-modify pass on the VPU, then
+    the whole x-interpolation + bin average collapses into a single
+    [ow, win_cols] x [win_cols, C] MXU matmul against a weight matrix
+    built from iota comparisons — no scratch buffer, no strided sublane
+    writes (the round-2 kernel's dominant cost), no transpose."""
     n = pl.program_id(0)
     slot = jax.lax.rem(n, NSLOTS)
-    ns = oh * srat
 
     def dma(i, s):
         """Window copy for RoI i into slot s; small RoIs (most real
@@ -131,6 +138,7 @@ def _roi_align_kernel(wins_ref, geom_ref, canvas_ref, out_ref,
     wl = geom_ref[8 * n + 5]
     wr = geom_ref[8 * n + 6]
     wc = geom_ref[8 * n + 7]
+    small = wins_ref[3 * n + 2] > 0
 
     def rel(k, origin, bin_sz, limit, worigin, width):
         a_abs, b_abs, wa, wb = _axis_sample(k, origin, bin_sz, limit,
@@ -139,28 +147,61 @@ def _roi_align_kernel(wins_ref, geom_ref, canvas_ref, out_ref,
         b = jnp.clip(b_abs - worigin, 0.0, width - 1.0).astype(jnp.int32)
         return a, b, wa, wb
 
-    # stage 1 — y interpolation: t2[cols, k, :] per y-sample k
-    # (t2 stays f32: bf16 scratch was measured SLOWER — packed (2,1)
-    # sublane writes under dynamic indexing cost more than the saved
-    # VMEM traffic)
-    for k in range(ns):
-        ya, yb, wa, wb = rel(k, y1, bin_h, hl, wr, WIN)
-        rows = (win_buf[slot, ya].astype(jnp.float32) * wa
-                + win_buf[slot, yb].astype(jnp.float32) * wb)
-        t2_buf[:, k, :] = rows
-
-    # stage 2 — x interpolation + srat x srat bin average
+    # x-interpolation + bin-average as ONE weight matrix [ow, WINX]:
+    # Wx[j, x] = 1/srat^2 * sum_r (wa_k (x == xa_k) + wb_k (x == xb_k))
+    # for k = j*srat + r — built with iota compares on the VPU.
     inv = 1.0 / (srat * srat)
-    cols = []
-    for j in range(ow):
-        folded = jnp.zeros((oh, c), jnp.float32)
-        for r in range(srat):
-            k = j * srat + r
-            xa, xb, wa, wb = rel(k, x1, bin_w, wl, wc, WINX)
-            v = t2_buf[xa] * wa + t2_buf[xb] * wb      # [ns(y), C]
-            folded = folded + v.reshape(oh, srat, c).sum(axis=1)
-        cols.append(folded * inv)
-    out_ref[0] = jnp.stack(cols, axis=1).astype(out_ref.dtype)
+    xs = jax.lax.broadcasted_iota(
+        jnp.int32, (ow, WINX), 1).astype(jnp.float32)
+    js = jax.lax.broadcasted_iota(
+        jnp.int32, (ow, WINX), 0).astype(jnp.float32)
+    wx = jnp.zeros((ow, WINX), jnp.float32)
+    for r in range(srat):
+        frac = (r + 0.5) / srat
+        pos = x1 + (js + frac) * bin_w
+        inside = jnp.where((pos >= -1.0) & (pos <= wl), 1.0, 0.0)
+        p = jnp.clip(pos, 0.0, wl - 1.0)
+        a_abs = jnp.floor(p)
+        fr = p - a_abs
+        b_abs = jnp.minimum(a_abs + 1.0, wl - 1.0)
+        a_rel = jnp.clip(a_abs - wc, 0.0, WINX - 1.0)
+        b_rel = jnp.clip(b_abs - wc, 0.0, WINX - 1.0)
+        wx = (wx + (1.0 - fr) * inside * (xs == a_rel)
+              + fr * inside * (xs == b_rel))
+    wx = wx * inv
+
+    # per output row i: fold the srat y-samples into one [cols, C] row
+    # on the VPU (contiguous reads, no scratch), then ONE MXU matmul
+    # [ow, cols] @ [cols, C] — the result lands [j, C] so out[i] needs
+    # no transpose. Small windows slice to SWINX columns (their sample
+    # cells never reach past it, so wx[:, SWINX:] is all zero).
+    for i in range(oh):
+        taps = [rel(i * srat + r, y1, bin_h, hl, wr, WIN)
+                for r in range(srat)]
+
+        @pl.when(small)
+        def _(i=i, taps=taps):
+            rows = jnp.zeros((SWINX, c), jnp.float32)
+            for ya, yb, wa, wb in taps:
+                rows = (rows
+                        + win_buf[slot, ya, :SWINX].astype(jnp.float32)
+                        * wa
+                        + win_buf[slot, yb, :SWINX].astype(jnp.float32)
+                        * wb)
+            out_ref[0, i] = jnp.dot(
+                wx[:, :SWINX], rows,
+                preferred_element_type=jnp.float32).astype(out_ref.dtype)
+
+        @pl.when(jnp.logical_not(small))
+        def _(i=i, taps=taps):
+            rows = jnp.zeros((WINX, c), jnp.float32)
+            for ya, yb, wa, wb in taps:
+                rows = (rows
+                        + win_buf[slot, ya].astype(jnp.float32) * wa
+                        + win_buf[slot, yb].astype(jnp.float32) * wb)
+            out_ref[0, i] = jnp.dot(
+                wx, rows,
+                preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
 
 def _prep(features, boxes, image_size, oh, ow, s):
@@ -276,7 +317,6 @@ def multiscale_roi_align_pallas(
             (1, oh, ow, c), lambda i, *_: (i, 0, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((NSLOTS, WIN, WINX, c), canvas.dtype),
-            pltpu.VMEM((WINX, oh * s, c), jnp.float32),
             pltpu.SemaphoreType.DMA((NSLOTS,)),
         ],
     )

@@ -278,10 +278,22 @@ def test_one_epoch(state, cfg, loss_cfg, dataset, gt, mesh,
     num_classes = loss_cfg.num_classes
     conf_thr = float(cfg.yolo.inf_confidence)
     iou_thr = float(cfg.yolo.inf_iou_threshold)
+    device_pre = bool(cfg.dataset.get("device_preprocess", False))
     ev = eval_lib.DetectionEvaluator(gt, label_map_for(cfg))
 
     @jax.jit
-    def decode_and_nms(images):
+    def decode_and_nms(images, sizes=None):
+        if device_pre:
+            # uint8 native-resolution canvas in, fused bicubic resize +
+            # normalize on device (kernels/preprocess.py; north-star
+            # replacement for the host cv2 path transformations.py:29)
+            from object_detectors_tpu.kernels.preprocess import (
+                resize_normalize_from_canvas,
+            )
+
+            images = resize_normalize_from_canvas(
+                images, sizes, loss_cfg.img_size,
+                jnp.float32).astype(jnp.float32)
         # idf logit scaling must match training (yolo_forw.py:170-173)
         dec = trainer.yolo_eval_step(
             state, images, loss_cfg, num_classes,
@@ -300,12 +312,23 @@ def test_one_epoch(state, cfg, loss_cfg, dataset, gt, mesh,
             max_output=100, valid=v))
         return f(boxes, topv, labels, valid)
 
-    for batch in data_coco.yolo_batches(
+    if device_pre:
+        batches = data_coco.yolo_batches_uint8(
+            dataset, int(cfg.dataset.ts_batch_size), loss_cfg.img_size,
+            canvas_size=int(cfg.dataset.get("canvas_size", 640)),
+            max_boxes=int(cfg.dataset.get("max_boxes", 100)),
+            process_index=jax.process_index(),
+            process_count=jax.process_count())
+    else:
+        batches = data_coco.yolo_batches(
             dataset, int(cfg.dataset.ts_batch_size), loss_cfg.img_size,
             int(cfg.dataset.get("max_boxes", 100)),
             process_index=jax.process_index(),
-            process_count=jax.process_count()):
-        bx, sc, lb, vd = decode_and_nms(jnp.asarray(batch["images"]))
+            process_count=jax.process_count())
+    for batch in batches:
+        bx, sc, lb, vd = decode_and_nms(
+            jnp.asarray(batch["images"]),
+            jnp.asarray(batch["sizes"]) if device_pre else None)
         keep = batch["image_ids"] >= 0
         ev.update(batch["image_ids"][keep], np.asarray(bx)[keep],
                   np.asarray(sc)[keep], np.asarray(lb)[keep],

@@ -153,35 +153,15 @@ def heatmaps_to_keypoints(kp_logits, boxes, upsample: int = 4):
     return kps, scores
 
 
-def _cubic_kernel(t, a: float = -0.75):
-    """Cubic convolution kernel (Keys, a=-0.75) — the kernel PyTorch's
-    upsample_bicubic2d uses (roi_heads.py:311 F.interpolate bicubic)."""
-    at = jnp.abs(t)
-    return jnp.where(
-        at <= 1.0, ((a + 2.0) * at - (a + 3.0)) * at * at + 1.0,
-        jnp.where(at < 2.0,
-                  a * (((at - 5.0) * at + 8.0) * at - 4.0), 0.0))
-
-
 def _bicubic_rows(out_size, n_in: int, n_out_max: int):
     """[n_out_max, n_in] sampling matrix of PyTorch bicubic interpolate
-    (align_corners=False, border-clamped taps) for a *traced* output size
-    ``out_size``; rows >= out_size are don't-care (masked by the caller).
+    (align_corners=False, border-clamped taps, a=-0.75 — the kernel
+    F.interpolate uses at roi_heads.py:311) for a *traced* output size;
+    rows >= out_size are don't-care (masked by the caller). Shared
+    machinery with the device ingest resize (kernels/preprocess.py)."""
+    from object_detectors_tpu.kernels.preprocess import bicubic_rows
 
-    Row i samples the input at (i + 0.5) * n_in/out_size - 0.5 with four
-    taps at floor-1..floor+2, indices clamped to [0, n_in)."""
-    i = jnp.arange(n_out_max, dtype=jnp.float32)
-    center = (i + 0.5) * (n_in / out_size) - 0.5
-    i0 = jnp.floor(center)
-    t = center - i0
-    ws = jnp.stack([_cubic_kernel(t + 1.0), _cubic_kernel(t),
-                    _cubic_kernel(t - 1.0), _cubic_kernel(t - 2.0)], -1)
-    taps = jnp.clip(i0[:, None] + jnp.arange(-1.0, 3.0)[None, :],
-                    0.0, n_in - 1.0)                       # [n_out_max, 4]
-    m = jnp.arange(n_in, dtype=jnp.float32)
-    return jnp.sum(
-        ws[:, :, None] * (taps[:, :, None] == m[None, None, :]),
-        axis=1)                                            # [n_out_max, n_in]
+    return bicubic_rows(n_in / out_size, n_in, n_in, n_out_max)
 
 
 @partial(jax.jit, static_argnames=("max_roi_size",))

@@ -131,7 +131,7 @@ def filter_proposals(
         keep &= (scores >= cfg.score_thresh) & jnp.isfinite(logits)
 
         masked = jnp.where(keep, scores, -jnp.inf)
-        kept = jax.vmap(N._fixedpoint_keep, (0, 0, None))(
+        kept, _ = jax.vmap(N._fixedpoint_keep, (0, 0, None))(
             boxes, masked, cfg.nms_thresh)              # [L, pre_n]
         # merge: post_nms_top_n over all levels' survivors by score
         # (rpn.py:276-280 keeps batched_nms order then slices top-n)

@@ -99,8 +99,11 @@ def _select_max_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
     return out_idx, out_valid
 
 
+FIXEDPOINT_ITER_CAP = 64  # >= any realistic suppression-chain depth
+
+
 def _fixedpoint_keep(boxes: jnp.ndarray, scores: jnp.ndarray,
-                     iou_threshold: float) -> jnp.ndarray:
+                     iou_threshold: float, iter_cap: int | None = None):
     """Exact greedy-NMS kept set via self-suppression fixed point.
 
     Greedy NMS is the unique fixed point of
@@ -112,9 +115,17 @@ def _fixedpoint_keep(boxes: jnp.ndarray, scores: jnp.ndarray,
     selection of :func:`_select_max_nms`; this is what makes 1000-output
     RPN NMS fast on TPU.
 
-    scores: -inf marks invalid. Returns kept mask in INPUT order.
+    The iteration count equals the suppression-chain depth — data
+    dependent, up to N on adversarial chained candidates. ``iter_cap``
+    bounds it; callers check the returned ``converged`` flag and fall
+    back to the sequential method (see :func:`_fixedpoint_nms`), so the
+    combined result stays exact with bounded worst-case work.
+
+    scores: -inf marks invalid. Returns (kept mask in INPUT order,
+    converged bool).
     """
     n = boxes.shape[0]
+    cap = n if iter_cap is None else min(iter_cap, n)
     order = jnp.argsort(-scores)  # stable: score desc, ties by index
     b = boxes[order]
     s = scores[order]
@@ -127,7 +138,7 @@ def _fixedpoint_keep(boxes: jnp.ndarray, scores: jnp.ndarray,
 
     def cond(state):
         _, changed, it = state
-        return changed & (it < n)
+        return changed & (it < cap)
 
     def body(state):
         kept, _, it = state
@@ -135,26 +146,38 @@ def _fixedpoint_keep(boxes: jnp.ndarray, scores: jnp.ndarray,
         new_kept = alive & ~suppressed
         return new_kept, jnp.any(new_kept != kept), it + 1
 
-    kept, _, _ = jax.lax.while_loop(
+    kept, changed, _ = jax.lax.while_loop(
         cond, body, (alive, jnp.array(True), jnp.zeros((), jnp.int32)))
-    return jnp.zeros((n,), bool).at[order].set(kept)
+    return jnp.zeros((n,), bool).at[order].set(kept), ~changed
 
 
 def _fixedpoint_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
                     iou_threshold: float, max_output: int):
     """(keep_idx [K], valid [K]) — same contract as _select_max_nms, kept
     entries in score-descending order (the greedy order), via the
-    fixed-point kept set + one top-k over survivors."""
-    kept = _fixedpoint_keep(boxes, scores, iou_threshold)
+    fixed-point kept set + one top-k over survivors. If the fixed point
+    hits its iteration cap (adversarial chain depth > cap), the result
+    falls back to the exact sequential blocked method — output is exact
+    for every input, with bounded fixed-point work."""
+    kept, converged = _fixedpoint_keep(boxes, scores, iou_threshold,
+                                       FIXEDPOINT_ITER_CAP)
     k = min(max_output, boxes.shape[0])
-    topv, topi = jax.lax.top_k(jnp.where(kept, scores, -jnp.inf), k)
-    out_valid = jnp.isfinite(topv)
+
+    def fast(_):
+        topv, topi = jax.lax.top_k(jnp.where(kept, scores, -jnp.inf), k)
+        return topi.astype(jnp.int32), jnp.isfinite(topv)
+
+    def fallback(_):
+        idx, valid = _select_max_nms(boxes, scores, iou_threshold, k)
+        return idx, valid
+
+    topi, out_valid = jax.lax.cond(converged, fast, fallback, None)
     if k < max_output:  # pad to the static output size
         topi = jnp.concatenate(
             [topi, jnp.zeros((max_output - k,), topi.dtype)])
         out_valid = jnp.concatenate(
             [out_valid, jnp.zeros((max_output - k,), bool)])
-    return topi.astype(jnp.int32), out_valid
+    return topi, out_valid
 
 
 @partial(jax.jit, static_argnames=("iou_threshold", "max_output", "method"))
@@ -232,10 +255,13 @@ def _majority_nms_fixedpoint(boxes, scores, labels_in, num_classes,
     assignment. Exactly reproduces the sequential scan: a suppressed box
     belongs to the cluster of the FIRST kept box (score order) that
     overlaps it > thr — that is the step where the scan removed it.
+    If the fixed point hits FIXEDPOINT_ITER_CAP (adversarial chain depth),
+    the result falls back to the exact sequential scan.
 
     scores: -inf marks invalid. Returns (boxes, scores, labels, valid)
     shaped [max_output]."""
     n = boxes.shape[0]
+    cap = min(FIXEDPOINT_ITER_CAP, n)
     order = jnp.argsort(-scores)
     b = boxes[order]
     s = scores[order]
@@ -250,7 +276,7 @@ def _majority_nms_fixedpoint(boxes, scores, labels_in, num_classes,
 
     def cond(state):
         _, changed, it = state
-        return changed & (it < n)
+        return changed & (it < cap)
 
     def body(state):
         kept, _, it = state
@@ -258,35 +284,79 @@ def _majority_nms_fixedpoint(boxes, scores, labels_in, num_classes,
         new_kept = alive & ~suppressed
         return new_kept, jnp.any(new_kept != kept), it + 1
 
-    kept, _, _ = jax.lax.while_loop(
+    kept, changed, _ = jax.lax.while_loop(
         cond, body, (alive, jnp.array(True), jnp.zeros((), jnp.int32)))
 
-    # cluster assignment: first kept i (smallest sorted index) with
-    # over[j, i]; every suppressed alive box has one (else it'd be kept)
-    cand = over & kept[None, :]                    # [j, i]
-    first_i = jnp.argmax(cand.astype(jnp.int32)
-                         * (n - idx)[None, :], axis=1)
-    assigned = ~kept & alive & jnp.any(cand, axis=1)
-    counts = jnp.zeros((n, num_classes), jnp.int32).at[
-        first_i, jnp.clip(lab, 0, num_classes - 1)
-    ].add(assigned.astype(jnp.int32), mode="drop")
-    n_unique = jnp.sum(counts > 0, axis=1)
-    majority = jnp.argmax(counts, axis=1).astype(lab.dtype)
-    out_lab = jnp.where(kept & (n_unique > 1), majority, lab)
+    def fast(_):
+        # cluster assignment: first kept i (smallest sorted index) with
+        # over[j, i]; every suppressed alive box has one (else it'd be
+        # kept)
+        cand = over & kept[None, :]                    # [j, i]
+        first_i = jnp.argmax(cand.astype(jnp.int32)
+                             * (n - idx)[None, :], axis=1)
+        assigned = ~kept & alive & jnp.any(cand, axis=1)
+        counts = jnp.zeros((n, num_classes), jnp.int32).at[
+            first_i, jnp.clip(lab, 0, num_classes - 1)
+        ].add(assigned.astype(jnp.int32), mode="drop")
+        n_unique = jnp.sum(counts > 0, axis=1)
+        majority = jnp.argmax(counts, axis=1).astype(lab.dtype)
+        out_lab = jnp.where(kept & (n_unique > 1), majority, lab)
 
-    k = min(max_output, n)
-    topv, topi = jax.lax.top_k(jnp.where(kept, s, -jnp.inf), k)
-    out_valid = jnp.isfinite(topv)
-    if k < max_output:
-        topi = jnp.concatenate(
-            [topi, jnp.zeros((max_output - k,), topi.dtype)])
-        topv = jnp.concatenate(
-            [topv, jnp.full((max_output - k,), -jnp.inf, topv.dtype)])
-        out_valid = jnp.concatenate(
-            [out_valid, jnp.zeros((max_output - k,), bool)])
-    out_boxes = jnp.where(out_valid[:, None], b[topi], 0.0)
-    out_scores = jnp.where(out_valid, topv, 0.0)
-    out_labels = jnp.where(out_valid, out_lab[topi], -1)
+        k = min(max_output, n)
+        topv, topi = jax.lax.top_k(jnp.where(kept, s, -jnp.inf), k)
+        out_valid = jnp.isfinite(topv)
+        if k < max_output:
+            topi_p = jnp.concatenate(
+                [topi, jnp.zeros((max_output - k,), topi.dtype)])
+            topv_p = jnp.concatenate(
+                [topv, jnp.full((max_output - k,), -jnp.inf, topv.dtype)])
+            out_valid = jnp.concatenate(
+                [out_valid, jnp.zeros((max_output - k,), bool)])
+            topi, topv = topi_p, topv_p
+        out_boxes = jnp.where(out_valid[:, None], b[topi], 0.0)
+        out_scores = jnp.where(out_valid, topv, 0.0)
+        out_labels = jnp.where(out_valid, out_lab[topi], -1)
+        return out_boxes, out_scores, out_labels, out_valid
+
+    def fallback(_):
+        return _majority_nms_scan(boxes, scores, labels_in, num_classes,
+                                  iou_threshold, max_output)
+
+    return jax.lax.cond(~changed, fast, fallback, None)
+
+
+def _majority_nms_scan(boxes, scores, labels_in, num_classes,
+                       iou_threshold, max_output):
+    """Sequential K-step select-max majority NMS (the round-1 method);
+    exact for any chain depth — the fallback when the fixed point hits
+    its iteration cap."""
+    n = boxes.shape[0]
+    iou = box_ops.pairwise_iou(boxes, boxes)
+    col = jnp.arange(n)
+
+    def body(alive_scores, _):
+        i = jnp.argmax(alive_scores)
+        ok = jnp.isfinite(alive_scores[i])
+        row = iou[i]
+        newly = jnp.isfinite(alive_scores) & (row > iou_threshold) & \
+            (col != i)
+        counts = jnp.zeros((num_classes,), jnp.int32).at[
+            jnp.clip(labels_in, 0, num_classes - 1)
+        ].add(newly.astype(jnp.int32), mode="drop")
+        n_unique = jnp.sum(counts > 0)
+        majority = jnp.argmax(counts).astype(jnp.int32)
+        out_label = jnp.where(ok & (n_unique > 1), majority, labels_in[i])
+        alive_scores = jnp.where(
+            ok & (newly | (col == i)), -jnp.inf, alive_scores)
+        return alive_scores, (jnp.where(ok, i, -1), ok, out_label)
+
+    _, (keep_idx, out_valid, out_labels) = jax.lax.scan(
+        body, scores, None, length=max_output)
+
+    idx_c = jnp.clip(keep_idx, 0)
+    out_boxes = jnp.where(out_valid[:, None], boxes[idx_c], 0.0)
+    out_scores = jnp.where(out_valid, scores[idx_c], 0.0)
+    out_labels = jnp.where(out_valid, out_labels, -1)
     return out_boxes, out_scores, out_labels, out_valid
 
 
@@ -321,33 +391,8 @@ def nms_majority(
     if method == "fixedpoint":
         return _majority_nms_fixedpoint(boxes, s, labels_in, num_classes,
                                         iou_threshold, max_output)
-    iou = box_ops.pairwise_iou(boxes, boxes)
-    col = jnp.arange(n)
-
-    def body(alive_scores, _):
-        i = jnp.argmax(alive_scores)
-        ok = jnp.isfinite(alive_scores[i])
-        row = iou[i]
-        newly = jnp.isfinite(alive_scores) & (row > iou_threshold) & \
-            (col != i)
-        counts = jnp.zeros((num_classes,), jnp.int32).at[
-            jnp.clip(labels_in, 0, num_classes - 1)
-        ].add(newly.astype(jnp.int32), mode="drop")
-        n_unique = jnp.sum(counts > 0)
-        majority = jnp.argmax(counts).astype(jnp.int32)
-        out_label = jnp.where(ok & (n_unique > 1), majority, labels_in[i])
-        alive_scores = jnp.where(
-            ok & (newly | (col == i)), -jnp.inf, alive_scores)
-        return alive_scores, (jnp.where(ok, i, -1), ok, out_label)
-
-    _, (keep_idx, out_valid, out_labels) = jax.lax.scan(
-        body, s, None, length=max_output)
-
-    idx_c = jnp.clip(keep_idx, 0)
-    out_boxes = jnp.where(out_valid[:, None], boxes[idx_c], 0.0)
-    out_scores = jnp.where(out_valid, s[idx_c], 0.0)
-    out_labels = jnp.where(out_valid, out_labels, -1)
-    return out_boxes, out_scores, out_labels, out_valid
+    return _majority_nms_scan(boxes, s, labels_in, num_classes,
+                              iou_threshold, max_output)
 
 
 def topk_by_score(scores: jnp.ndarray, k: int):

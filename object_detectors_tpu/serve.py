@@ -29,7 +29,11 @@ import jax.numpy as jnp
 class Request:
     request_id: int
     model: str
-    image: np.ndarray  # [H, W, 3] float32 (already resized/normalized)
+    # [H, W, 3] image (float32/uint8), OR an int slot index into the
+    # server's device-resident image pool (see stage_pool) — the pooled
+    # form is the production ingest: one gather from one device tensor
+    # per flush instead of per-request device arrays.
+    image: object
 
 
 @dataclasses.dataclass
@@ -63,6 +67,40 @@ class BatchedDetectionServer:
         # materialized in drain()/poll()
         self.pending: deque = deque()
         self.max_inflight = 4
+        self.pool = None                  # device tensor [P, H, W, 3]
+        self._pooled_fns: dict[str, Callable] = {}
+
+    def stage_pool(self, images):
+        """Stage an image pool on device; requests then carry slot
+        indices. Collapses a flush to ONE fused dispatch (gather + cast
+        + pipeline, outputs packed into a single tensor) — the round-2
+        scheduler dispatched a jnp.stack over N device arrays plus an
+        astype plus the pipeline per flush, each a separate RPC through
+        the dev relay (~15 ms apiece), which bounded the mixed stream at
+        ~32 img/s."""
+        self.pool = jax.device_put(images) if not isinstance(
+            images, jax.Array) else images
+        dt = self.input_dtype
+
+        def make(model):
+            core = self.pipelines[model]
+
+            @jax.jit
+            def fn(pool, idx):
+                batch = jnp.take(pool, idx, axis=0)
+                if dt is not None:
+                    batch = batch.astype(dt)
+                boxes, scores, labels, valid = core(batch)
+                return jnp.concatenate(
+                    [boxes.astype(jnp.float32),
+                     scores.astype(jnp.float32)[..., None],
+                     labels.astype(jnp.float32)[..., None],
+                     valid.astype(jnp.float32)[..., None]], axis=-1)
+
+            return fn
+
+        self._pooled_fns = {m: make(m) for m in self.pipelines}
+        return self.pool
 
     def submit(self, req: Request):
         q = self.queues[req.model]
@@ -76,6 +114,18 @@ class BatchedDetectionServer:
         bs = self.batch_size[model]
         n = min(len(q), bs)
         items = [q.popleft() for _ in range(n)]
+        if isinstance(items[0][0].image, (int, np.integer)):
+            # pooled mode: one fused gather+cast+infer dispatch with
+            # packed output (see stage_pool)
+            slots = [int(it[0].image) for it in items]
+            slots += [slots[-1]] * (bs - n)
+            idx = jnp.asarray(np.asarray(slots, np.int32))
+            packed = self._pooled_fns[model](self.pool, idx)
+            self.pending.append((model, items, packed))
+            out = []
+            if len(self.pending) > self.max_inflight:
+                out.extend(self._resolve(self.pending.popleft()))
+            return out
         if isinstance(items[0][0].image, jax.Array):
             # device-staged requests: batch on device (no host round
             # trip — the dev-relay H2D tunnel runs ~50 MB/s and would
@@ -102,12 +152,17 @@ class BatchedDetectionServer:
 
     def _resolve(self, entry) -> list[Response]:
         model, items, outputs = entry
-        boxes, scores, labels, valid = outputs
-        # one device->host transfer per output tensor, NOT per request
-        boxes, scores, labels, valid = (np.asarray(boxes),
-                                        np.asarray(scores),
-                                        np.asarray(labels),
-                                        np.asarray(valid))
+        if isinstance(outputs, jax.Array):  # pooled: ONE packed fetch
+            p = np.asarray(outputs)
+            boxes, scores = p[..., :4], p[..., 4]
+            labels, valid = p[..., 5].astype(np.int32), p[..., 6] > 0.5
+        else:
+            boxes, scores, labels, valid = outputs
+            # one device->host transfer per output tensor, NOT per request
+            boxes, scores, labels, valid = (np.asarray(boxes),
+                                            np.asarray(scores),
+                                            np.asarray(labels),
+                                            np.asarray(valid))
         now = time.perf_counter()
         return [Response(req.request_id, model, boxes[i], scores[i],
                          labels[i], valid[i], now - t_in)

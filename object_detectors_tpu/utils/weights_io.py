@@ -350,3 +350,81 @@ def torch_resnet_to_flax(state_dict: dict, layers=(3, 4, 6, 3)):
                     sd[dkey].transpose(2, 3, 1, 0))
                 bn_into((o, "down_bn"), f"{t}.downsample.1")
     return params, frozen
+
+
+# --------------------------------------------------------------------- #
+# flax -> torch (inverse conversion, for trained-weight parity runs)
+# --------------------------------------------------------------------- #
+
+def _flax_leaf_to_torch(leaf: np.ndarray, t_shape: tuple, key: str):
+    """Invert torch->flax leaf transforms by shape (+name for the
+    deconv/conv 4D ambiguity and the fc6 flatten-order permutation)."""
+    leaf = np.asarray(leaf)
+    if leaf.ndim <= 1:
+        return leaf
+    if leaf.ndim == 2:  # linear layers are ALWAYS transposed (square
+        # matrices must not hit a same-shape shortcut)
+        if "fc6" in key:  # inverse of _fc6_leaf's (y, x, c) flatten
+            out_f = t_shape[0]
+            in_f = t_shape[1]
+            pool = 7
+            c = in_f // (pool * pool)
+            w = leaf.reshape(pool, pool, c, out_f)
+            return w.transpose(3, 2, 0, 1).reshape(out_f, in_f)
+        return leaf.transpose(1, 0)
+    if leaf.ndim == 4:
+        is_deconv = ("conv5_mask" in key or "kps_score_lowres" in key)
+        if is_deconv:  # inverse of _deconv_leaf (unflip + permute)
+            return leaf[::-1, ::-1].transpose(2, 3, 0, 1).copy()
+        return leaf.transpose(3, 2, 0, 1)
+    raise ValueError(f"unmapped leaf {key} {leaf.shape} -> {t_shape}")
+
+
+def invert_torch_to_flax(convert_fn, variables: dict, template_sd: dict,
+                         **convert_kwargs) -> dict:
+    """Generic inverse of a torch->flax converter: re-runs ``convert_fn``
+    on a TAGGED state dict (each tensor filled with its key's index) to
+    recover the flax-path -> torch-key mapping, then maps each flax leaf
+    back with the inverse axis transform. Keys the converter never
+    consumed (num_batches_tracked etc.) keep their template values."""
+    keys = list(template_sd.keys())
+    sd_tag = {k: np.full(np.asarray(v).shape, i, np.float64)
+              for i, (k, v) in enumerate(template_sd.items())}
+    tagged = convert_fn(sd_tag, **convert_kwargs)
+
+    out_sd = {k: np.asarray(v).copy() for k, v in template_sd.items()}
+
+    def walk(tag_node, var_node, path):
+        if isinstance(tag_node, dict):
+            for k in tag_node:
+                walk(tag_node[k], var_node[k], path + (k,))
+            return
+        t = np.asarray(tag_node)
+        tag = t.flat[0]
+        if not (t == tag).all():
+            raise ValueError(f"mixed-source leaf at {path}")
+        key = keys[int(tag)]
+        out_sd[key] = _flax_leaf_to_torch(
+            np.asarray(var_node), np.asarray(template_sd[key]).shape, key)
+
+    for coll in tagged:
+        if coll in variables:
+            walk(tagged[coll], variables[coll], (coll,))
+    return out_sd
+
+
+def flax_fasterrcnn_to_torch(variables: dict, template_sd: dict,
+                             layers=(3, 4, 6, 3), with_mask=False,
+                             with_keypoints=False) -> dict:
+    """Our trained FasterRCNN/MaskRCNN/KeypointRCNN variables -> a torch
+    state_dict loadable by the reference graph (parity with trained
+    weights — VERDICT r2 item 4)."""
+    return invert_torch_to_flax(
+        torch_fasterrcnn_to_flax, variables, template_sd, layers=layers,
+        with_mask=with_mask, with_keypoints=with_keypoints)
+
+
+def flax_retinanet_to_torch(variables: dict, template_sd: dict,
+                            layers=(3, 4, 6, 3)) -> dict:
+    return invert_torch_to_flax(
+        torch_retinanet_to_flax, variables, template_sd, layers=layers)

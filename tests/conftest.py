@@ -11,9 +11,16 @@ import os
 # Must be set before the CPU backend initializes.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags += " --xla_force_host_platform_device_count=8"
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # The round-2 "SIGABRT at ~183/219" gate failure: XLA CPU collective
+    # rendezvous CHECK-fails if the 8 virtual-device participant threads
+    # don't all arrive within 40s — on this single-core rig a loaded
+    # process can schedule them late. Raise the warn/terminate timeouts;
+    # correctness is unaffected (the rendezvous completes, just late).
+    flags += (" --xla_cpu_collective_call_terminate_timeout_seconds=900"
+              " --xla_cpu_collective_timeout_seconds=900")
+os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax  # noqa: E402
 

@@ -212,3 +212,39 @@ def test_yolo_augment_keeps_boxes():
         out_img, out_b, out_l = T.yolo_augment(rng, img, boxes, labels)
         assert out_img.shape == img.shape
         assert len(out_b) == len(out_l)
+
+
+def test_uint8_batches_device_resize_roundtrip_map_one(synth):
+    """Device-ingest pipeline (uint8 canvas + sizes): GT converted
+    through the uint8 batch pipeline and the evaluator must round-trip
+    to mAP 1.0 — the box-rescale contract is unchanged."""
+    import jax.numpy as jnp
+    from object_detectors_tpu.kernels.preprocess import (
+        resize_normalize_from_canvas,
+    )
+
+    gt, ds = synth
+    ev = E.DetectionEvaluator(gt)
+    inp = 64
+    for b in D.yolo_batches_uint8(ds, batch_size=4, inp_dim=inp,
+                                  canvas_size=96, max_boxes=8):
+        assert b["images"].dtype == np.uint8
+        assert b["images"].shape[1:] == (96, 96, 3)
+        assert b["sizes"].shape == (4, 2)
+        # device resize runs (shape + finiteness; pixel parity vs torch
+        # is covered in test_kernels)
+        imgs = resize_normalize_from_canvas(
+            jnp.asarray(b["images"]), jnp.asarray(b["sizes"]), inp)
+        assert imgs.shape == (4, inp, inp, 3)
+        assert bool(jnp.isfinite(imgs.astype(jnp.float32)).all())
+        boxes_rel = b["gt_boxes"]
+        cx, cy, w, h = [boxes_rel[..., i] for i in range(4)]
+        xyxy = np.stack([(cx - w / 2) * inp, (cy - h / 2) * inp,
+                         (cx + w / 2) * inp, (cy + h / 2) * inp], -1)
+        scores = np.where(b["gt_valid"], 1.0, 0.0)
+        keep = b["image_ids"] >= 0
+        ev.update(b["image_ids"][keep], xyxy[keep], scores[keep],
+                  b["gt_labels"][keep], b["gt_valid"][keep],
+                  b["scale_factors"][keep])
+    stats = ev.summarize()
+    assert stats[0] == pytest.approx(1.0, abs=1e-6)

@@ -79,3 +79,37 @@ def test_resize_normalize_images_matches_host_pipeline():
     ref = (ref / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
     assert np.isfinite(out).all()
+
+
+def test_resize_normalize_from_canvas_matches_torch_bicubic():
+    """Device ingest resize (VERDICT r2 item 6): per-image bicubic from
+    native size inside a padded canvas must equal torch's bicubic resize
+    (a=-0.75, the reference's cv2 INTER_CUBIC semantics) + normalize."""
+    import torch
+    import torch.nn.functional as F
+    from object_detectors_tpu.data.transforms import (
+        IMAGENET_MEAN, IMAGENET_STD,
+    )
+    from object_detectors_tpu.kernels.preprocess import (
+        resize_normalize_from_canvas,
+    )
+
+    rng = np.random.RandomState(0)
+    out_dim, cs = 32, 48
+    sizes = [(48, 36), (20, 48), (7, 5)]
+    canvas = np.zeros((len(sizes), cs, cs, 3), np.uint8)
+    for i, (h, w) in enumerate(sizes):
+        canvas[i, :h, :w] = rng.randint(0, 255, (h, w, 3), np.uint8)
+
+    out = np.asarray(resize_normalize_from_canvas(
+        jnp.asarray(canvas), jnp.asarray(sizes, jnp.int32), out_dim,
+        jnp.float32))
+
+    for i, (h, w) in enumerate(sizes):
+        img = torch.from_numpy(
+            canvas[i, :h, :w].astype(np.float32).transpose(2, 0, 1))
+        ref = F.interpolate(img[None], size=(out_dim, out_dim),
+                            mode="bicubic", align_corners=False)[0]
+        ref = ref.numpy().transpose(1, 2, 0) / 255.0
+        ref = (ref - IMAGENET_MEAN) / IMAGENET_STD
+        np.testing.assert_allclose(out[i], ref, rtol=1e-4, atol=1e-4)

@@ -223,3 +223,52 @@ def test_exact_blocked_topk_matches_lax():
         bv, bi = exact_blocked_topk(jnp.asarray(s), k)
         np.testing.assert_array_equal(np.asarray(lv), np.asarray(bv))
         np.testing.assert_array_equal(np.asarray(li), np.asarray(bi))
+
+
+def _chain_boxes(n, step=6.0, size=10.0):
+    """Adversarial suppression chain: box i overlaps box i+1 (IoU ~0.29)
+    but not i+2; scores descending -> greedy keeps 0, 2, 4, ... and the
+    fixed point needs O(n) iterations (worst case)."""
+    x = np.arange(n, dtype=np.float32) * step
+    boxes = np.stack([x, np.zeros(n, np.float32),
+                      x + size, np.full(n, size, np.float32)], -1)
+    scores = np.linspace(1.0, 0.5, n).astype(np.float32)
+    return jnp.asarray(boxes), jnp.asarray(scores)
+
+
+def test_fixedpoint_cap_falls_back_exactly_on_adversarial_chain():
+    """VERDICT r2 item 8: chain depth > FIXEDPOINT_ITER_CAP must not
+    change the result — the capped fixed point falls back to the exact
+    sequential method."""
+    n = 4 * N.FIXEDPOINT_ITER_CAP
+    boxes, scores = _chain_boxes(n)
+    _, converged = N._fixedpoint_keep(boxes, scores, 0.2,
+                                      N.FIXEDPOINT_ITER_CAP)
+    assert not bool(converged)  # the cap actually bites on this input
+
+    ob, osc, keep_idx, valid = N.nms(boxes, scores, 0.2, max_output=n,
+                                     method="fixedpoint")
+    kept = np.asarray(keep_idx[np.asarray(valid)])
+    np.testing.assert_array_equal(np.sort(kept), np.arange(0, n, 2))
+
+    # majority variant: capped fixed point == sequential scan
+    labels = jnp.asarray(np.arange(n) % 3)
+    out_fp = N.nms_majority(boxes, scores, labels, num_classes=3,
+                            iou_threshold=0.2, max_output=64,
+                            method="fixedpoint")
+    out_scan = N.nms_majority(boxes, scores, labels, num_classes=3,
+                              iou_threshold=0.2, max_output=64,
+                              method="scan")
+    for a, b in zip(out_fp, out_scan):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_fixedpoint_converged_flag_on_easy_input():
+    rng = np.random.RandomState(0)
+    boxes = jnp.asarray(rng.rand(64, 4).astype(np.float32) * 100)
+    boxes = boxes.at[:, 2:].set(boxes[:, 2:] + boxes[:, :2] + 5)
+    scores = jnp.asarray(rng.rand(64).astype(np.float32))
+    kept, converged = N._fixedpoint_keep(boxes, scores, 0.5,
+                                         N.FIXEDPOINT_ITER_CAP)
+    assert bool(converged)
+    assert bool(kept.any())

@@ -81,3 +81,30 @@ def test_inflight_bound_forces_resolution():
     assert len(responses) >= 4
     responses.extend(server.drain())
     assert len(responses) == 6
+
+
+def test_pooled_requests_single_dispatch_per_flush():
+    """VERDICT r2 item 5: pooled ingest — requests carry slot indices
+    into one device-resident pool tensor; a flush issues one fused
+    gather+infer dispatch and responses unpack from one packed fetch."""
+    calls = []
+
+    def counting_pipeline(images):
+        calls.append(images.shape)
+        return fake_pipeline(7)(images)
+
+    server = BatchedDetectionServer({"m": counting_pipeline},
+                                    batch_size=4)
+    pool = np.stack([np.full((8, 8, 3), v / 10.0, np.float32)
+                     for v in range(6)])
+    server.stage_pool(pool)
+    reqs = [Request(i, "m", i % 6) for i in range(10)]
+    out = server.run_stream(reqs)
+    assert len(out) == 10
+    by_id = {r.request_id: r for r in out}
+    for i in range(10):
+        r = by_id[i]
+        assert r.labels[0] == 7
+        assert r.scores[0] == pytest.approx((i % 6) / 10.0, abs=1e-5)
+        np.testing.assert_allclose(r.boxes[0], [1.0, 2.0, 3.0, 4.0])
+        assert bool(r.valid[0])

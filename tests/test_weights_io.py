@@ -165,3 +165,67 @@ def test_torch_resnet_state_dict_conversion():
     out = model.apply({"params": params, "frozen": frozen},
                       jnp.zeros((1, 64, 64, 3)), train=False)
     assert len(out) == 4
+
+
+def test_flax_to_torch_roundtrip_fasterrcnn():
+    """Inverse converter: torch sd -> flax -> torch must round-trip every
+    parameter bit-exactly (enables trained-weight parity runs)."""
+    import numpy as np
+    from object_detectors_tpu.utils import weights_io as W
+
+    rng = np.random.RandomState(0)
+    # minimal fake torch state dict exercising every leaf type
+    sd = {}
+
+    def conv(prefix, o, i, k=3):
+        sd[prefix + ".weight"] = rng.randn(o, i, k, k).astype(np.float32)
+        sd[prefix + ".bias"] = rng.randn(o).astype(np.float32)
+
+    def bn(prefix, c):
+        for n in ("weight", "bias", "running_mean", "running_var"):
+            sd[prefix + "." + n] = rng.rand(c).astype(np.float32) + 0.5
+
+    def convbn(prefix, o, i, k=3):
+        sd[prefix + ".weight"] = rng.randn(o, i, k, k).astype(np.float32)
+
+    # resnet18-ish body (2,2,2,2) basic blocks
+    convbn("backbone.body.conv1", 64, 3, 7)
+    bn("backbone.body.bn1", 64)
+    chans = [64, 128, 256, 512]
+    for s, c in enumerate(chans):
+        cin = 64 if s == 0 else chans[s - 1]
+        for b in range(2):
+            p = f"backbone.body.layer{s+1}.{b}"
+            convbn(p + ".conv1", c, cin if b == 0 else c)
+            bn(p + ".bn1", c)
+            convbn(p + ".conv2", c, c)
+            bn(p + ".bn2", c)
+            if b == 0 and s > 0:
+                convbn(p + ".downsample.0", c, cin, 1)
+                bn(p + ".downsample.1", c)
+    for i, c in enumerate(chans):
+        conv(f"backbone.fpn.inner_blocks.{i}", 32, c, 1)
+        conv(f"backbone.fpn.layer_blocks.{i}", 32, 32)
+    conv("rpn.head.conv", 32, 32)
+    conv("rpn.head.cls_logits", 3, 32, 1)
+    conv("rpn.head.bbox_pred", 12, 32, 1)
+    sd["roi_heads.box_head.fc6.weight"] = rng.randn(
+        64, 32 * 49).astype(np.float32)
+    sd["roi_heads.box_head.fc6.bias"] = rng.randn(64).astype(np.float32)
+    sd["roi_heads.box_head.fc7.weight"] = rng.randn(
+        64, 64).astype(np.float32)
+    sd["roi_heads.box_head.fc7.bias"] = rng.randn(64).astype(np.float32)
+    sd["roi_heads.box_predictor.cls_score.weight"] = rng.randn(
+        5, 64).astype(np.float32)
+    sd["roi_heads.box_predictor.cls_score.bias"] = rng.randn(
+        5).astype(np.float32)
+    sd["roi_heads.box_predictor.bbox_pred.weight"] = rng.randn(
+        20, 64).astype(np.float32)
+    sd["roi_heads.box_predictor.bbox_pred.bias"] = rng.randn(
+        20).astype(np.float32)
+
+    variables = W.torch_fasterrcnn_to_flax(sd, layers=(2, 2, 2, 2))
+    back = W.flax_fasterrcnn_to_torch(variables, sd, layers=(2, 2, 2, 2))
+    assert set(back) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
