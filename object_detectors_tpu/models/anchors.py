@@ -85,7 +85,8 @@ def ssd_default_boxes(
     image_size: tuple[int, int],
     grid_sizes: Sequence[tuple[int, int]],
     aspect_ratios: Sequence[Sequence[int]] = ((2,), (2, 3), (2, 3), (2, 3), (2,), (2,)),
-    scales: Sequence[float] | None = None,
+    scales: Sequence[float] | None = (0.07, 0.15, 0.33, 0.51, 0.69,
+                                      0.87, 1.05),
     steps: Sequence[int] | None = (8, 16, 32, 64, 100, 300),
     min_ratio: float = 0.15,
     max_ratio: float = 0.9,
@@ -93,7 +94,9 @@ def ssd_default_boxes(
 ) -> np.ndarray:
     """SSD default boxes in xyxy pixels [sum_l H*W*A_l, 4]
     (anchor_utils.py:160-278). Defaults are the ssd300_vgg16 config
-    (ssd.py:574-580)."""
+    INCLUDING its explicit scales (ssd.py:601-603) — scales=None falls
+    back to the generic min/max-ratio interpolation
+    (anchor_utils.py:186-195)."""
     k_levels = len(aspect_ratios)
     if scales is None:
         if k_levels > 1:

@@ -428,3 +428,39 @@ def flax_retinanet_to_torch(variables: dict, template_sd: dict,
                             layers=(3, 4, 6, 3)) -> dict:
     return invert_torch_to_flax(
         torch_retinanet_to_flax, variables, template_sd, layers=layers)
+
+
+def torch_ssd_to_flax(state_dict: dict) -> dict:
+    """torch SSD300-VGG16 (tvision/ssd.py:434-541 SSDFeatureExtractorVGG
+    + SSDHead layout) -> our models/ssd.py variables.
+
+    VGG features indices (cfg-D): convs at 0,2 / 5,7 / 10,12,14 /
+    17,19,21; extra.0 wraps maxpool4+conv5_x+atrous fc6/fc7; extra.1-4
+    are the conv8..conv11 pairs; heads are module_lists per level."""
+    sd = strip_module_prefix({k: np.asarray(v)
+                              for k, v in state_dict.items()})
+    fe = "backbone.features."
+    ex = "backbone.extra."
+    vgg_map = {
+        "conv1_1": fe + "0", "conv1_2": fe + "2",
+        "conv2_1": fe + "5", "conv2_2": fe + "7",
+        "conv3_1": fe + "10", "conv3_2": fe + "12", "conv3_3": fe + "14",
+        "conv4_1": fe + "17", "conv4_2": fe + "19", "conv4_3": fe + "21",
+        "conv5_0": ex + "0.1", "conv5_1": ex + "0.3",
+        "conv5_2": ex + "0.5",
+        "conv6": ex + "0.7.1", "conv7": ex + "0.7.3",
+        "conv8_1": ex + "1.0", "conv8_2": ex + "1.2",
+        "conv9_1": ex + "2.0", "conv9_2": ex + "2.2",
+        "conv10_1": ex + "3.0", "conv10_2": ex + "3.2",
+        "conv11_1": ex + "4.0", "conv11_2": ex + "4.2",
+    }
+    backbone = {ours: _conv_leaf(sd, theirs)
+                for ours, theirs in vgg_map.items()}
+    backbone["scale_weight"] = _t_vec(sd, "backbone.scale_weight")
+    head = {}
+    for i in range(6):
+        head[f"cls{i}"] = _conv_leaf(
+            sd, f"head.classification_head.module_list.{i}")
+        head[f"reg{i}"] = _conv_leaf(
+            sd, f"head.regression_head.module_list.{i}")
+    return {"params": {"backbone": backbone, "head": head}}
