@@ -31,10 +31,18 @@ _STD = tuple(float(x) for x in IMAGENET_STD)
 
 
 def _kernel(img_ref, out_ref):
+    # Blocks are [rb, W*3] so the lane dim is wide (a trailing dim of 3
+    # would waste 125/128 lanes). Channel pattern via iota % 3; only
+    # python-float constants — pallas kernels cannot capture ARRAY
+    # constants (that raised and silently fell back to XLA until r3).
     x = img_ref[...].astype(jnp.float32) * (1.0 / 255.0)
-    mean = jnp.asarray(_MEAN, jnp.float32)
-    inv_std = jnp.asarray([1.0 / s for s in _STD], jnp.float32)
-    out_ref[...] = ((x - mean) * inv_std).astype(out_ref.dtype)
+    ch = jax.lax.broadcasted_iota(jnp.int32, x.shape,
+                                  x.ndim - 1) % 3
+    mean = jnp.where(ch == 0, _MEAN[0],
+                     jnp.where(ch == 1, _MEAN[1], _MEAN[2]))
+    inv = jnp.where(ch == 0, 1.0 / _STD[0],
+                    jnp.where(ch == 1, 1.0 / _STD[1], 1.0 / _STD[2]))
+    out_ref[...] = ((x - mean) * inv).astype(out_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("out_dtype", "row_block"))
@@ -44,20 +52,22 @@ def preprocess_images_pallas(images: jnp.ndarray,
     """[B, H, W, 3] uint8 -> normalized [B, H, W, 3] out_dtype."""
     b, h, w, c = images.shape
     rb = min(row_block, h)
-    while h % rb:
-        rb -= 1
-    grid = (b, h // rb)
-    return pl.pallas_call(
+    flat = images.reshape(b, h, w * c)
+    # cdiv grid: Pallas masks the ragged tail block, so a prime H no
+    # longer degrades the row block to 1 (ADVICE r2 perf cliff)
+    grid = (b, -(-h // rb))
+    out = pl.pallas_call(
         _kernel,
-        out_shape=jax.ShapeDtypeStruct(images.shape, out_dtype),
+        out_shape=jax.ShapeDtypeStruct(flat.shape, out_dtype),
         grid=grid,
-        in_specs=[pl.BlockSpec((1, rb, w, c),
-                               lambda bi, ri: (bi, ri, 0, 0),
+        in_specs=[pl.BlockSpec((1, rb, w * c),
+                               lambda bi, ri: (bi, ri, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, rb, w, c),
-                               lambda bi, ri: (bi, ri, 0, 0),
+        out_specs=pl.BlockSpec((1, rb, w * c),
+                               lambda bi, ri: (bi, ri, 0),
                                memory_space=pltpu.VMEM),
-    )(images)
+    )(flat)
+    return out.reshape(b, h, w, c)
 
 
 @partial(jax.jit, static_argnames=("out_dtype",))
@@ -68,13 +78,23 @@ def preprocess_images_xla(images: jnp.ndarray,
     return x.astype(out_dtype)
 
 
+_warned_fallback = False
+
+
 def preprocess_images(images, out_dtype=jnp.bfloat16):
     """Normalize a uint8 batch on-device; Pallas on TPU, XLA elsewhere."""
     if jax.devices()[0].platform == "tpu":
         try:
             return preprocess_images_pallas(images, out_dtype)
         except Exception:  # pragma: no cover — compile fallback
-            pass
+            global _warned_fallback
+            if not _warned_fallback:  # a SILENT fallback hid a broken
+                _warned_fallback = True  # kernel for two rounds
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "pallas preprocess failed; using XLA path",
+                    exc_info=True)
     return preprocess_images_xla(images, out_dtype)
 
 

@@ -28,6 +28,7 @@ import math
 from functools import partial
 from typing import Any, Sequence
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
@@ -64,15 +65,43 @@ class RetinaNetConfig:
     tfidf_norm: int = 0
 
 
+def _pack_layout(shapes):
+    """Static 2D bin layout for FPN levels: the largest level occupies
+    the left band; the rest stack vertically in a second band, every
+    placement separated by a 1-px gap. Returns (canvas_h, canvas_w,
+    [(r, c, h, w)]). One px of separation + re-zeroing the mask after
+    every conv makes packed 3x3 convs EXACTLY per-level zero-padded
+    convs (a 3x3 output reads one px across the gap, which the mask
+    keeps at zero)."""
+    (h0, w0) = shapes[0]
+    places = [(0, 0, h0, w0)]
+    col = w0 + 1
+    row = 0
+    wmax = 0
+    for (h, w) in shapes[1:]:
+        places.append((row, col, h, w))
+        row += h + 1
+        wmax = max(wmax, w)
+    canvas_h = max(h0, row - 1)
+    canvas_w = col + wmax
+    return canvas_h, canvas_w, places
+
+
 class RetinaNetHead(nn.Module):
     """Classification/regression towers with parameters SHARED across FPN
-    levels (the torchvision heads are single modules applied per level)."""
+    levels (the torchvision heads are single modules applied per level).
+
+    ``packed=True`` runs each tower ONCE over all levels packed into a
+    single gap-separated masked canvas instead of 5 per-level convs —
+    numerically identical (gaps re-zeroed between convs), but one big
+    MXU-friendly conv per layer instead of five small ones."""
 
     num_classes: int
     num_anchors: int = 9
     in_channels: int = 256
     prior_probability: float = 0.01
     dtype: Any = jnp.float32
+    packed: bool = True
 
     @nn.compact
     def __call__(self, features: Sequence[jnp.ndarray]):
@@ -91,6 +120,40 @@ class RetinaNetHead(nn.Module):
                                nn.initializers.constant(bias_value))
         reg_tower = [conv(self.in_channels, f"reg_conv{i}") for i in range(4)]
         bbox_reg_conv = conv(self.num_anchors * 4, "bbox_reg")
+
+        if self.packed:
+            b = features[0].shape[0]
+            shapes = [(f.shape[1], f.shape[2]) for f in features]
+            ch, cw, places = _pack_layout(shapes)
+            canvas = jnp.zeros((b, ch, cw, features[0].shape[-1]),
+                               features[0].dtype)
+            mask = np.zeros((1, ch, cw, 1), np.float32)
+            for f, (r, c, h, w) in zip(features, places):
+                canvas = jax.lax.dynamic_update_slice(
+                    canvas, f, (0, r, c, 0))
+                mask[0, r:r + h, c:c + w, 0] = 1.0
+            maskj = jnp.asarray(mask, self.dtype)
+
+            def tower(layers, out_conv, x):
+                for layer in layers:
+                    # re-zero the gaps: bias+ReLU would otherwise leak
+                    # nonzero values across level boundaries
+                    x = nn.relu(layer(x)) * maskj
+                return out_conv(x)
+
+            cls_c = tower(cls_tower, cls_logits_conv, canvas)
+            reg_c = tower(reg_tower, bbox_reg_conv, canvas)
+            cls_out, reg_out = [], []
+            for (r, c, h, w) in places:
+                cc = jax.lax.slice(cls_c, (0, r, c, 0),
+                                   (b, r + h, c + w, cls_c.shape[-1]))
+                rr = jax.lax.slice(reg_c, (0, r, c, 0),
+                                   (b, r + h, c + w, reg_c.shape[-1]))
+                cls_out.append(cc.reshape(b, -1, self.num_classes))
+                reg_out.append(rr.reshape(b, -1, 4))
+            level_sizes = tuple(c.shape[1] for c in cls_out)
+            return (jnp.concatenate(cls_out, 1),
+                    jnp.concatenate(reg_out, 1), level_sizes)
 
         cls_out, reg_out = [], []
         for f in features:

@@ -53,11 +53,17 @@ class RPNConfig:
 
 
 class RPNHead(nn.Module):
-    """Shared conv tower across levels (rpn.py:30-61)."""
+    """Shared conv tower across levels (rpn.py:30-61).
+
+    ``packed=True`` runs the tower ONCE over all levels packed into a
+    gap-separated canvas (models/retinanet._pack_layout): one 3x3 conv
+    whose level-edge outputs read only the zero gap (exactly the
+    per-level zero-padding), then 1x1 heads which cannot leak."""
 
     num_anchors: int = 3
     in_channels: int = 256
     dtype: Any = jnp.float32
+    packed: bool = True
 
     @nn.compact
     def __call__(self, features: Sequence[jnp.ndarray]):
@@ -72,6 +78,31 @@ class RPNHead(nn.Module):
                             kernel_init=nn.initializers.normal(0.01),
                             dtype=self.dtype, param_dtype=jnp.float32,
                             name="bbox_pred")
+        if self.packed:
+            from object_detectors_tpu.models.retinanet import _pack_layout
+
+            b = features[0].shape[0]
+            shapes = [(f.shape[1], f.shape[2]) for f in features]
+            ch, cw, places = _pack_layout(shapes)
+            canvas = jnp.zeros((b, ch, cw, features[0].shape[-1]),
+                               features[0].dtype)
+            for f, (r, c, h, w) in zip(features, places):
+                canvas = jax.lax.dynamic_update_slice(
+                    canvas, f, (0, r, c, 0))
+            t = nn.relu(conv(canvas))
+            oc = cls_logits(t)
+            rc = bbox_pred(t)
+            obj, reg = [], []
+            for (r, c, h, w) in places:
+                o = jax.lax.slice(oc, (0, r, c, 0),
+                                  (b, r + h, c + w, oc.shape[-1]))
+                g = jax.lax.slice(rc, (0, r, c, 0),
+                                  (b, r + h, c + w, rc.shape[-1]))
+                obj.append(o.reshape(b, -1))
+                reg.append(g.reshape(b, -1, 4))
+            level_sizes = tuple(o.shape[1] for o in obj)
+            return (jnp.concatenate(obj, 1), jnp.concatenate(reg, 1),
+                    level_sizes)
         obj, reg = [], []
         for f in features:
             b = f.shape[0]

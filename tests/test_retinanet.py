@@ -155,3 +155,25 @@ def test_retinanet_postprocess_finds_planted_box(tiny_retinanet):
     expected_box = box_ops.clip_boxes_to_image(anchors[100], (64, 64))
     np.testing.assert_allclose(np.asarray(boxes)[0, 0],
                                np.asarray(expected_box), atol=1e-3)
+
+
+def test_packed_head_matches_per_level_head():
+    """The packed-canvas head (one conv over gap-separated levels) must
+    be numerically identical to the per-level tower application."""
+    import jax
+
+    feats = [jnp.asarray(np.random.RandomState(i).randn(
+        2, s, s, 16).astype(np.float32)) for i, s in
+        enumerate((16, 8, 4, 2, 1))]
+    head_p = R.RetinaNetHead(num_classes=7, num_anchors=3,
+                              in_channels=16, packed=True)
+    head_u = R.RetinaNetHead(num_classes=7, num_anchors=3,
+                              in_channels=16, packed=False)
+    v = head_u.init(jax.random.key(0), feats)
+    cls_u, reg_u, ls_u = head_u.apply(v, feats)
+    cls_p, reg_p, ls_p = head_p.apply(v, feats)
+    assert ls_u == ls_p
+    np.testing.assert_allclose(np.asarray(cls_p), np.asarray(cls_u),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(reg_p), np.asarray(reg_u),
+                               rtol=1e-5, atol=1e-5)

@@ -214,3 +214,21 @@ def test_faster_rcnn_background_image_finite(tiny_frcnn):
     gnorm = float(jnp.sqrt(sum(
         jnp.sum(x_ ** 2) for x_ in jax.tree_util.tree_leaves(g))))
     assert np.isfinite(gnorm)
+
+
+def test_packed_rpn_head_matches_per_level():
+    import numpy as np
+
+    feats = [jnp.asarray(np.random.RandomState(i).randn(
+        2, s, s, 16).astype(np.float32)) for i, s in
+        enumerate((16, 8, 4, 2, 1))]
+    hp = RPN.RPNHead(num_anchors=3, in_channels=16, packed=True)
+    hu = RPN.RPNHead(num_anchors=3, in_channels=16, packed=False)
+    v = hu.init(jax.random.key(0), feats)
+    ou, ru, lu = hu.apply(v, feats)
+    op, rp, lp = hp.apply(v, feats)
+    assert lu == lp
+    np.testing.assert_allclose(np.asarray(op), np.asarray(ou),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rp), np.asarray(ru),
+                               rtol=1e-5, atol=1e-5)
