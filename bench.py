@@ -160,6 +160,50 @@ def run(batch_sizes=(64,), img_size=640, warmup=2, iters=10,
     return best, results
 
 
+def run_train_step(bs=16, img_size=416, warmup=2, iters=10):
+    """YOLO SPMD training step (fwd+bwd+SGD, bf16) img/s/chip — the r1
+    measurement (382 img/s) re-taken each round (VERDICT r2 item 10)."""
+    import optax
+
+    from object_detectors_tpu.models import yolo_criterion as YC
+    from object_detectors_tpu.models.yolo import YoloHead
+    from object_detectors_tpu.train import trainer
+
+    cfg = YC.YoloLossConfig(num_classes=80, img_size=img_size)
+    model = YoloHead(num_classes=80, dtype=jnp.bfloat16)
+    tx = optax.sgd(1e-3, momentum=0.9)
+    state = trainer.create_yolo_train_state(model, tx, img_size,
+                                            jax.random.key(0))
+    rng = np.random.RandomState(3)
+    batches = [dict(
+        images=jnp.asarray(rng.rand(bs, img_size, img_size, 3)
+                           .astype(np.float32)),
+        gt_boxes=jnp.asarray(rng.rand(bs, 32, 4).astype(np.float32)
+                             * 0.5 + 0.25),
+        gt_labels=jnp.asarray(rng.randint(0, 80, (bs, 32))),
+        gt_valid=jnp.asarray(rng.rand(bs, 32) < 0.5),
+    ) for _ in range(3)]
+
+    def step(st, b):
+        new_state, metrics = trainer.yolo_train_step(
+            st, b["images"], b["gt_boxes"], b["gt_labels"],
+            b["gt_valid"], cfg, 80)
+        return new_state, metrics["loss"]
+
+    jf = jax.jit(step)
+    st = state
+    for i in range(warmup):
+        st, loss = jf(st, batches[i % 3])
+    float(np.asarray(loss))
+    t0 = time.perf_counter()
+    for i in range(iters):
+        st, loss = jf(st, batches[i % 3])
+    s = float(np.asarray(loss))
+    dt = (time.perf_counter() - t0) / iters
+    del s
+    return bs / dt
+
+
 def run_retinanet(bs=16, img_size=640, warmup=2, iters=8):
     """BASELINE config 2: RetinaNet R50-FPN eval, uint8 e2e."""
     from object_detectors_tpu.serve import build_retinanet_pipeline
@@ -476,6 +520,9 @@ def main():
         configs["frcnn640"] = {"value": round(run_frcnn(), 2)}
     if "yolo_lvis416" in wanted:
         configs["yolo_lvis416"] = {"value": round(run_yolo_lvis(), 2)}
+    if "train_step" in wanted or (args.configs is None
+                                  and not args.quick):
+        configs["yolo_train416"] = {"value": round(run_train_step(), 2)}
     if not args.quick:
         nms_res = run_nms_latency()
         configs["nms_p50_latency"] = {
