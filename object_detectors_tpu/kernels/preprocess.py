@@ -35,7 +35,10 @@ def _kernel(img_ref, out_ref):
     # would waste 125/128 lanes). Channel pattern via iota % 3; only
     # python-float constants — pallas kernels cannot capture ARRAY
     # constants (that raised and silently fell back to XLA until r3).
-    x = img_ref[...].astype(jnp.float32) * (1.0 / 255.0)
+    # Mosaic has no direct uint8->f32 cast (r3: this raised at LOWERING
+    # time, i.e. outside any eager try/except when traced under an outer
+    # jit) — widen through int32 first.
+    x = img_ref[...].astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
     ch = jax.lax.broadcasted_iota(jnp.int32, x.shape,
                                   x.ndim - 1) % 3
     mean = jnp.where(ch == 0, _MEAN[0],
@@ -78,23 +81,37 @@ def preprocess_images_xla(images: jnp.ndarray,
     return x.astype(out_dtype)
 
 
-_warned_fallback = False
+_pallas_ok: bool | None = None
+
+
+def _probe_pallas() -> bool:
+    """Compile+run the kernel ONCE on a tiny shape, eagerly.
+
+    A try/except around the traced call cannot catch kernel problems
+    when ``preprocess_images`` runs under an OUTER jit — Mosaic lowering
+    happens at outer-jit compile time, outside the except (this is
+    exactly how the r3 uint8->f32 cast bug crashed bench.py instead of
+    falling back). Probing eagerly makes the dispatch decision a real
+    runtime fact, and the log line makes a fallback loud."""
+    global _pallas_ok
+    if _pallas_ok is None:
+        try:
+            x = jnp.zeros((1, 8, 128, 3), jnp.uint8)
+            jax.block_until_ready(preprocess_images_pallas(x))
+            _pallas_ok = True
+        except Exception:  # pragma: no cover — compile fallback
+            _pallas_ok = False
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "pallas preprocess failed; using XLA path", exc_info=True)
+    return _pallas_ok
 
 
 def preprocess_images(images, out_dtype=jnp.bfloat16):
     """Normalize a uint8 batch on-device; Pallas on TPU, XLA elsewhere."""
-    if jax.devices()[0].platform == "tpu":
-        try:
-            return preprocess_images_pallas(images, out_dtype)
-        except Exception:  # pragma: no cover — compile fallback
-            global _warned_fallback
-            if not _warned_fallback:  # a SILENT fallback hid a broken
-                _warned_fallback = True  # kernel for two rounds
-                import logging
-
-                logging.getLogger(__name__).warning(
-                    "pallas preprocess failed; using XLA path",
-                    exc_info=True)
+    if jax.devices()[0].platform == "tpu" and _probe_pallas():
+        return preprocess_images_pallas(images, out_dtype)
     return preprocess_images_xla(images, out_dtype)
 
 
