@@ -352,13 +352,19 @@ def run_nms_latency(bs=512, n_cand=256, max_det=100, num_classes=80,
         return np.concatenate([xy, xy + wh], -1).astype(np.float32)
 
     def adversarial(rng):
-        """Worst-case suppression chain: box i overlaps only box i+1;
-        fixed-point depth ~ n_cand, forcing the iteration-cap fallback
-        (ops/nms.py FIXEDPOINT_ITER_CAP)."""
-        x = np.arange(n_cand, dtype=np.float32) * 6.0
+        """Worst-case suppression chain: box i overlaps box i+1 at IoU
+        8/12=0.67 > 0.6 but box i+2 at 6/14=0.43 < 0.6, and scores
+        DESCEND along the chain, so greedy keeps 0,2,4,... and the
+        fixed-point needs ~n_cand/2 iterations (the intrinsic it<N
+        worst case — this distribution bounds the p99). Returns
+        (boxes, scores): chain depth requires monotone scores."""
+        x = np.arange(n_cand, dtype=np.float32) * 2.0
         one = np.stack([x, np.zeros_like(x), x + 10,
                         np.full_like(x, 10.0)], -1)
-        return np.tile(one[None], (bs, 1, 1))
+        boxes = np.tile(one[None], (bs, 1, 1))
+        scores = np.tile(np.linspace(1.0, 0.5, n_cand,
+                                     dtype=np.float32)[None], (bs, 1))
+        return boxes, scores
 
     f = jax.jit(jax.vmap(lambda b, s, c: N.nms_majority(
         b, s, c, num_classes=num_classes, iou_threshold=0.6,
@@ -368,8 +374,14 @@ def run_nms_latency(bs=512, n_cand=256, max_det=100, num_classes=80,
     for name, gen in (("uniform", uniform), ("clustered", clustered),
                       ("adversarial", adversarial)):
         rng = np.random.RandomState(5)
-        boxes = jnp.asarray(gen(rng))
-        scores = jnp.asarray(rng.rand(bs, n_cand).astype(np.float32))
+        out_gen = gen(rng)
+        if isinstance(out_gen, tuple):
+            boxes_np, scores_np = out_gen
+        else:
+            boxes_np = out_gen
+            scores_np = rng.rand(bs, n_cand).astype(np.float32)
+        boxes = jnp.asarray(boxes_np)
+        scores = jnp.asarray(scores_np)
         labels = jnp.asarray(rng.randint(0, num_classes, (bs, n_cand)))
         for _ in range(3):
             out = f(boxes, scores, labels)

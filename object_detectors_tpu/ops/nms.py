@@ -99,9 +99,6 @@ def _select_max_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
     return out_idx, out_valid
 
 
-FIXEDPOINT_ITER_CAP = 64  # >= any realistic suppression-chain depth
-
-
 def _fixedpoint_keep(boxes: jnp.ndarray, scores: jnp.ndarray,
                      iou_threshold: float, iter_cap: int | None = None):
     """Exact greedy-NMS kept set via self-suppression fixed point.
@@ -116,13 +113,20 @@ def _fixedpoint_keep(boxes: jnp.ndarray, scores: jnp.ndarray,
     RPN NMS fast on TPU.
 
     The iteration count equals the suppression-chain depth — data
-    dependent, up to N on adversarial chained candidates. ``iter_cap``
-    bounds it; callers check the returned ``converged`` flag and fall
-    back to the sequential method (see :func:`_fixedpoint_nms`), so the
-    combined result stays exact with bounded worst-case work.
+    dependent, intrinsically bounded by N (the DAG's longest possible
+    chain), so the while_loop always terminates with the exact greedy
+    result. Production callers vmap this; vmap-of-while_loop runs until
+    ALL lanes converge, so a batch pays max-over-lanes chain depth —
+    adaptive cost with no per-lane branching. (A per-image
+    ``lax.cond``-to-sequential fallback was tried in round 3 and is a
+    trap: under vmap, cond lowers to select and executes BOTH branches
+    for every lane, so the "fallback" ran unconditionally and cost 10x.
+    Worst-case latency is measured instead: bench.py run_nms_latency
+    reports p50/p99 on uniform/clustered/adversarial-chain candidate
+    distributions.)
 
     scores: -inf marks invalid. Returns (kept mask in INPUT order,
-    converged bool).
+    converged bool — always True when iter_cap is None).
     """
     n = boxes.shape[0]
     cap = n if iter_cap is None else min(iter_cap, n)
@@ -155,29 +159,20 @@ def _fixedpoint_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
                     iou_threshold: float, max_output: int):
     """(keep_idx [K], valid [K]) — same contract as _select_max_nms, kept
     entries in score-descending order (the greedy order), via the
-    fixed-point kept set + one top-k over survivors. If the fixed point
-    hits its iteration cap (adversarial chain depth > cap), the result
-    falls back to the exact sequential blocked method — output is exact
-    for every input, with bounded fixed-point work."""
-    kept, converged = _fixedpoint_keep(boxes, scores, iou_threshold,
-                                       FIXEDPOINT_ITER_CAP)
+    fixed-point kept set + one top-k over survivors (iteration count =
+    suppression-chain depth, intrinsically <= N; see
+    :func:`_fixedpoint_keep` for why there is deliberately NO per-image
+    fallback branch)."""
+    kept, _ = _fixedpoint_keep(boxes, scores, iou_threshold)
     k = min(max_output, boxes.shape[0])
-
-    def fast(_):
-        topv, topi = jax.lax.top_k(jnp.where(kept, scores, -jnp.inf), k)
-        return topi.astype(jnp.int32), jnp.isfinite(topv)
-
-    def fallback(_):
-        idx, valid = _select_max_nms(boxes, scores, iou_threshold, k)
-        return idx, valid
-
-    topi, out_valid = jax.lax.cond(converged, fast, fallback, None)
+    topv, topi = jax.lax.top_k(jnp.where(kept, scores, -jnp.inf), k)
+    out_valid = jnp.isfinite(topv)
     if k < max_output:  # pad to the static output size
         topi = jnp.concatenate(
             [topi, jnp.zeros((max_output - k,), topi.dtype)])
         out_valid = jnp.concatenate(
             [out_valid, jnp.zeros((max_output - k,), bool)])
-    return topi, out_valid
+    return topi.astype(jnp.int32), out_valid
 
 
 @partial(jax.jit, static_argnames=("iou_threshold", "max_output", "method"))
@@ -255,13 +250,13 @@ def _majority_nms_fixedpoint(boxes, scores, labels_in, num_classes,
     assignment. Exactly reproduces the sequential scan: a suppressed box
     belongs to the cluster of the FIRST kept box (score order) that
     overlaps it > thr — that is the step where the scan removed it.
-    If the fixed point hits FIXEDPOINT_ITER_CAP (adversarial chain depth),
-    the result falls back to the exact sequential scan.
+    Iteration count = chain depth <= N; no per-image fallback branch
+    (see :func:`_fixedpoint_keep` — cond-under-vmap runs both branches).
 
     scores: -inf marks invalid. Returns (boxes, scores, labels, valid)
     shaped [max_output]."""
     n = boxes.shape[0]
-    cap = min(FIXEDPOINT_ITER_CAP, n)
+    cap = n
     order = jnp.argsort(-scores)
     b = boxes[order]
     s = scores[order]
@@ -284,52 +279,43 @@ def _majority_nms_fixedpoint(boxes, scores, labels_in, num_classes,
         new_kept = alive & ~suppressed
         return new_kept, jnp.any(new_kept != kept), it + 1
 
-    kept, changed, _ = jax.lax.while_loop(
+    kept, _, _ = jax.lax.while_loop(
         cond, body, (alive, jnp.array(True), jnp.zeros((), jnp.int32)))
 
-    def fast(_):
-        # cluster assignment: first kept i (smallest sorted index) with
-        # over[j, i]; every suppressed alive box has one (else it'd be
-        # kept)
-        cand = over & kept[None, :]                    # [j, i]
-        first_i = jnp.argmax(cand.astype(jnp.int32)
-                             * (n - idx)[None, :], axis=1)
-        assigned = ~kept & alive & jnp.any(cand, axis=1)
-        counts = jnp.zeros((n, num_classes), jnp.int32).at[
-            first_i, jnp.clip(lab, 0, num_classes - 1)
-        ].add(assigned.astype(jnp.int32), mode="drop")
-        n_unique = jnp.sum(counts > 0, axis=1)
-        majority = jnp.argmax(counts, axis=1).astype(lab.dtype)
-        out_lab = jnp.where(kept & (n_unique > 1), majority, lab)
+    # cluster assignment: first kept i (smallest sorted index) with
+    # over[j, i]; every suppressed alive box has one (else it'd be kept)
+    cand = over & kept[None, :]                    # [j, i]
+    first_i = jnp.argmax(cand.astype(jnp.int32)
+                         * (n - idx)[None, :], axis=1)
+    assigned = ~kept & alive & jnp.any(cand, axis=1)
+    counts = jnp.zeros((n, num_classes), jnp.int32).at[
+        first_i, jnp.clip(lab, 0, num_classes - 1)
+    ].add(assigned.astype(jnp.int32), mode="drop")
+    n_unique = jnp.sum(counts > 0, axis=1)
+    majority = jnp.argmax(counts, axis=1).astype(lab.dtype)
+    out_lab = jnp.where(kept & (n_unique > 1), majority, lab)
 
-        k = min(max_output, n)
-        topv, topi = jax.lax.top_k(jnp.where(kept, s, -jnp.inf), k)
-        out_valid = jnp.isfinite(topv)
-        if k < max_output:
-            topi_p = jnp.concatenate(
-                [topi, jnp.zeros((max_output - k,), topi.dtype)])
-            topv_p = jnp.concatenate(
-                [topv, jnp.full((max_output - k,), -jnp.inf, topv.dtype)])
-            out_valid = jnp.concatenate(
-                [out_valid, jnp.zeros((max_output - k,), bool)])
-            topi, topv = topi_p, topv_p
-        out_boxes = jnp.where(out_valid[:, None], b[topi], 0.0)
-        out_scores = jnp.where(out_valid, topv, 0.0)
-        out_labels = jnp.where(out_valid, out_lab[topi], -1)
-        return out_boxes, out_scores, out_labels, out_valid
-
-    def fallback(_):
-        return _majority_nms_scan(boxes, scores, labels_in, num_classes,
-                                  iou_threshold, max_output)
-
-    return jax.lax.cond(~changed, fast, fallback, None)
+    k = min(max_output, n)
+    topv, topi = jax.lax.top_k(jnp.where(kept, s, -jnp.inf), k)
+    out_valid = jnp.isfinite(topv)
+    if k < max_output:
+        topi = jnp.concatenate(
+            [topi, jnp.zeros((max_output - k,), topi.dtype)])
+        topv = jnp.concatenate(
+            [topv, jnp.full((max_output - k,), -jnp.inf, topv.dtype)])
+        out_valid = jnp.concatenate(
+            [out_valid, jnp.zeros((max_output - k,), bool)])
+    out_boxes = jnp.where(out_valid[:, None], b[topi], 0.0)
+    out_scores = jnp.where(out_valid, topv, 0.0)
+    out_labels = jnp.where(out_valid, out_lab[topi], -1)
+    return out_boxes, out_scores, out_labels, out_valid
 
 
 def _majority_nms_scan(boxes, scores, labels_in, num_classes,
                        iou_threshold, max_output):
     """Sequential K-step select-max majority NMS (the round-1 method);
-    exact for any chain depth — the fallback when the fixed point hits
-    its iteration cap."""
+    kept as the reference implementation for equivalence tests
+    (method="scan")."""
     n = boxes.shape[0]
     iou = box_ops.pairwise_iou(boxes, boxes)
     col = jnp.arange(n)

@@ -236,15 +236,14 @@ def _chain_boxes(n, step=6.0, size=10.0):
     return jnp.asarray(boxes), jnp.asarray(scores)
 
 
-def test_fixedpoint_cap_falls_back_exactly_on_adversarial_chain():
-    """VERDICT r2 item 8: chain depth > FIXEDPOINT_ITER_CAP must not
-    change the result — the capped fixed point falls back to the exact
-    sequential method."""
-    n = 4 * N.FIXEDPOINT_ITER_CAP
+def test_fixedpoint_exact_on_adversarial_chain():
+    """VERDICT r2 item 8: adversarial chain depth (up to N) must not
+    change the result — the fixed point's intrinsic it<N bound covers
+    any chain, with the cost measured (not branched) per batch."""
+    n = 256
     boxes, scores = _chain_boxes(n)
-    _, converged = N._fixedpoint_keep(boxes, scores, 0.2,
-                                      N.FIXEDPOINT_ITER_CAP)
-    assert not bool(converged)  # the cap actually bites on this input
+    _, converged = N._fixedpoint_keep(boxes, scores, 0.2, 64)
+    assert not bool(converged)  # depth really exceeds a shallow cap
 
     ob, osc, keep_idx, valid = N.nms(boxes, scores, 0.2, max_output=n,
                                      method="fixedpoint")
@@ -268,7 +267,6 @@ def test_fixedpoint_converged_flag_on_easy_input():
     boxes = jnp.asarray(rng.rand(64, 4).astype(np.float32) * 100)
     boxes = boxes.at[:, 2:].set(boxes[:, 2:] + boxes[:, :2] + 5)
     scores = jnp.asarray(rng.rand(64).astype(np.float32))
-    kept, converged = N._fixedpoint_keep(boxes, scores, 0.5,
-                                         N.FIXEDPOINT_ITER_CAP)
+    kept, converged = N._fixedpoint_keep(boxes, scores, 0.5, 64)
     assert bool(converged)
     assert bool(kept.any())
