@@ -1,0 +1,126 @@
+"""ResNet-50-FPN backbone stage ablation on the real chip.
+
+The FRCNN ablation (frcnn_ablate) shows the backbone at ~19.3 ms for
+bs16/640² — only ~28% MXU against the ~1.07 TFLOP forward cost, while
+the RPN head (same measurement) runs at ~90%. This breaks the backbone
+into cumulative prefixes (stem -> +layer1..4 -> +fpn) to find where the
+slack lives before optimizing.
+
+Usage: python -m object_detectors_tpu.analysis.backbone_ablate [--bs 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+import flax.linen as nn  # noqa: E402
+
+from object_detectors_tpu.models.resnet import (  # noqa: E402
+    BackboneWithFPN, Bottleneck, ResNet,
+)
+from object_detectors_tpu.models.common import FrozenBatchNorm  # noqa: E402
+
+
+class Stem(nn.Module):
+    dtype: any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="conv1")(x)
+        x = FrozenBatchNorm(64, dtype=self.dtype, name="bn1")(x)
+        x = nn.relu(x)
+        return nn.max_pool(x, (3, 3), strides=(2, 2),
+                           padding=((1, 1), (1, 1)))
+
+
+class Prefix(nn.Module):
+    """Stem + the first ``n_stages`` ResNet stages."""
+
+    n_stages: int
+    layers: tuple = (3, 4, 6, 3)
+    dtype: any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = Stem(dtype=self.dtype, name="stem")(x)
+        planes = 64
+        for stage in range(self.n_stages):
+            stride = 1 if stage == 0 else 2
+            x = Bottleneck(planes, stride, downsample=True, norm="frozen",
+                           dtype=self.dtype,
+                           name=f"layer{stage+1}_block0")(x, False)
+            for i in range(1, self.layers[stage]):
+                x = Bottleneck(planes, 1, norm="frozen", dtype=self.dtype,
+                               name=f"layer{stage+1}_block{i}")(x, False)
+            planes *= 2
+        return x
+
+
+def time_fn(fn, images, warmup=2, iters=20):
+    jf = jax.jit(fn)
+    for _ in range(warmup):
+        float(jf(images))
+    t0 = time.perf_counter()
+    outs = [jf(images) for _ in range(iters)]
+    s = float(outs[-1])
+    dt = (time.perf_counter() - t0) / iters
+    del s, outs
+    return dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bs", type=int, default=16)
+    ap.add_argument("--size", type=int, default=640)
+    ap.add_argument("--f32", action="store_true")
+    args = ap.parse_args()
+    dtype = jnp.float32 if args.f32 else jnp.bfloat16
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(
+        rng.rand(args.bs, args.size, args.size, 3).astype(np.float32),
+        dtype)
+
+    stages = {}
+    stem = Stem(dtype=dtype)
+    sv = stem.init(jax.random.key(0), images[:1])
+    stages["stem"] = lambda im: jnp.sum(
+        stem.apply(sv, im).astype(jnp.float32))
+    for n in range(1, 5):
+        pref = Prefix(n, dtype=dtype)
+        pv = pref.init(jax.random.key(0), images[:1])
+        stages[f"+layer{n}"] = (
+            lambda im, pref=pref, pv=pv: jnp.sum(
+                pref.apply(pv, im).astype(jnp.float32)))
+    bb = BackboneWithFPN(ResNet((3, 4, 6, 3), "bottleneck", "frozen",
+                                dtype),
+                         out_channels=256, extra_blocks="pool",
+                         returned_layers=(1, 2, 3, 4))
+    bv = bb.init(jax.random.key(0), images[:1], False)
+    stages["+fpn(full)"] = lambda im: sum(
+        jnp.sum(f.astype(jnp.float32))
+        for f in bb.apply(bv, im, False))
+
+    prev = 0.0
+    for name, fn in stages.items():
+        dt = time_fn(fn, images)
+        print(f"{name:12s} {dt*1e3:8.2f} ms  (+{(dt-prev)*1e3:7.2f})"
+              f"  {args.bs/dt:7.1f} img/s")
+        prev = dt
+
+
+if __name__ == "__main__":
+    main()

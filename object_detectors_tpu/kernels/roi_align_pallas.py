@@ -37,11 +37,34 @@ from object_detectors_tpu.ops.roi_align import (
     _infer_scale, assign_fpn_levels, multiscale_roi_align_canvas,
 )
 
-WIN = 32   # window rows (row starts are unconstrained)
-WINX = 40  # window cols: 32 usable + 8 slack for the aligned origin
-SWIN = 16   # small-RoI window rows (covers spans <= 14 cells)
-SWINX = 24  # small-RoI window cols (16 usable + 8 alignment slack)
-NSLOTS = 6  # DMA pipeline depth (prefetch distance NSLOTS-1)
+# Window tiers (rows x cols; cols carry +8 slack for the 8-aligned
+# origin). The canonical FPN mapper puts square-ish RoI spans
+# log-uniformly in ~[14, 28) cells, so the kernel is DMA-bandwidth-bound
+# (measured ~80% of HBM peak at the big tier); tiers cut the moved bytes
+# to the smallest window covering each RoI's span. The tall/wide tiers
+# cover aspect-extreme RoIs (the mapper bounds sqrt(cell area) by ~28,
+# so a >30-cell span on one axis forces <=26 on the other; at 640^2 the
+# clamped boundary levels stay within 46x30 / 30x46) — they replace the
+# XLA canvas-gather fix-up for virtually every real RoI. KROI groups
+# RoIs per grid step (measured neutral — bandwidth-bound, not
+# step-overhead-bound — kept at 1).
+WIN = 32    # tier 0 big: spans <= 30 cells
+WINX = 40
+MWIN = 24   # tier 1 mid: spans <= 22 cells
+MWINX = 32
+SWIN = 16   # tier 2 small: spans <= 14 cells
+SWINX = 24
+TWIN = 48   # tier 3 tall: span_y <= 46, span_x <= 30
+TWINX = 40
+WWIN = 32   # tier 4 wide: span_y <= 30, span_x <= 46
+WWINX = 56
+TIERS = ((WIN, WINX), (MWIN, MWINX), (SWIN, SWINX), (TWIN, TWINX),
+         (WWIN, WWINX))
+BUF_ROWS = max(h for h, _ in TIERS)
+BUF_COLS = max(w for _, w in TIERS)
+NSLOTS = 6  # DMA pipeline depth in RoI groups (prefetch NSLOTS-1)
+            # VMEM: 6 x 48x56x256 bf16 = 8.3 MB of ~16 MB
+KROI = 1    # RoIs per grid step
 
 
 def _axis_sample(k, origin, bin_sz, limit, srat):
@@ -62,146 +85,160 @@ def _axis_sample(k, origin, bin_sz, limit, srat):
 def _roi_align_kernel(wins_ref, geom_ref, canvas_ref, out_ref,
                       win_buf, sems, *, n_rois, c, oh, ow, srat,
                       debug="full"):
-    """One grid step = one RoI. wins_ref [N*3] i32 SMEM (canvas window
-    row, 8-aligned window col, small-window flag); geom_ref [N*8] f32
+    """One grid step = KROI RoIs. wins_ref [N*3] i32 SMEM (canvas window
+    row, 8-aligned window col, tier 0=big/1=mid/2=small); geom_ref [N*8] f32
     SMEM (y1, x1, bin_h, bin_w, H_l, W_l, win_row_rel,
     win_col_rel_aligned) — flattened 1D because SMEM pads the minor dim
-    of 2D arrays to 128 lanes.
+    of 2D arrays to 128 lanes. N is padded to a multiple of KROI.
 
-    Compute structure (v3): for each output row i the srat y-samples are
+    Compute structure (v4): for each output row i the srat y-samples are
     folded into ONE [win_cols, C] row read-modify pass on the VPU, then
     the whole x-interpolation + bin average collapses into a single
     [ow, win_cols] x [win_cols, C] MXU matmul against a weight matrix
     built from iota comparisons — no scratch buffer, no strided sublane
-    writes (the round-2 kernel's dominant cost), no transpose."""
-    n = pl.program_id(0)
+    writes (the round-2 kernel's dominant cost), no transpose. KROI
+    windows per grid step amortize the per-step grid/scalar overhead
+    that dominated the per-RoI kernel (measured ~0.8 us/step against a
+    ~0.24 us small-window DMA floor)."""
+    n = pl.program_id(0)               # group index
     slot = jax.lax.rem(n, NSLOTS)
+    n_groups = n_rois // KROI
 
-    def dma(i, s):
-        """Window copy for RoI i into slot s; small RoIs (most real
-        proposals) copy a quarter-size window — the sampling indices
-        never leave the fresh region, so compute is unconditional."""
+    def dma(i, s, j):
+        """Window copy for RoI i into group-slot s lane j; the tier flag
+        selects the smallest window covering the RoI's span — the
+        sampling indices never leave the fresh region, so compute only
+        branches on the row/column slice."""
         row = wins_ref[3 * i]
         col = pl.multiple_of(wins_ref[3 * i + 1], 8)
-        small = wins_ref[3 * i + 2] > 0
+        tier = wins_ref[3 * i + 2]
 
         def make(h, w):
             return pltpu.make_async_copy(
                 canvas_ref.at[pl.ds(row, h), pl.ds(col, w), :],
-                win_buf.at[s, :h, :w, :], sems.at[s])
+                win_buf.at[s, j, :h, :w, :], sems.at[s, j])
 
-        return small, make(SWIN, SWINX), make(WIN, WINX)
+        return tier, tuple(make(h, w) for h, w in TIERS)
 
-    def start(i, s):
-        small, sm, big = dma(i, s)
+    def start(g, s):
+        for j in range(KROI):
+            tier, copies = dma(g * KROI + j, s, j)
+            for t, cp in enumerate(copies):
+                @pl.when(tier == t)
+                def _(cp=cp):
+                    cp.start()
 
-        @pl.when(small)
-        def _():
-            sm.start()
+    def wait(g, s):
+        for j in range(KROI):
+            tier, copies = dma(g * KROI + j, s, j)
+            for t, cp in enumerate(copies):
+                @pl.when(tier == t)
+                def _(cp=cp):
+                    cp.wait()
 
-        @pl.when(jnp.logical_not(small))
-        def _():
-            big.start()
-
-    def wait(i, s):
-        small, sm, big = dma(i, s)
-
-        @pl.when(small)
-        def _():
-            sm.wait()
-
-        @pl.when(jnp.logical_not(small))
-        def _():
-            big.wait()
+    @pl.when(n == 0)
+    def _():
+        # one-time zero fill: reads past a tier's DMA'd extent hit
+        # finite (zero/stale-window) data whose wx weight is exactly
+        # zero — NaN-from-uninitialized would break that (0*NaN=NaN).
+        win_buf[...] = jnp.zeros(win_buf.shape, win_buf.dtype)
 
     if debug != "compute_only":
         @pl.when(n == 0)
         def _():
-            for i in range(min(NSLOTS - 1, n_rois)):
-                start(i, i % NSLOTS)
+            for g in range(min(NSLOTS - 1, n_groups)):
+                start(g, g % NSLOTS)
 
-        @pl.when(n + NSLOTS - 1 < n_rois)
+        @pl.when(n + NSLOTS - 1 < n_groups)
         def _():
             start(n + NSLOTS - 1, jax.lax.rem(n + NSLOTS - 1, NSLOTS))
 
         wait(n, slot)
 
     if debug == "dma_only":
-        out_ref[0] = jnp.zeros((oh, ow, c), out_ref.dtype)
+        out_ref[...] = jnp.zeros((KROI, oh, ow, c), out_ref.dtype)
         return
 
-    y1 = geom_ref[8 * n]
-    x1 = geom_ref[8 * n + 1]
-    bin_h = geom_ref[8 * n + 2]
-    bin_w = geom_ref[8 * n + 3]
-    hl = geom_ref[8 * n + 4]
-    wl = geom_ref[8 * n + 5]
-    wr = geom_ref[8 * n + 6]
-    wc = geom_ref[8 * n + 7]
-    small = wins_ref[3 * n + 2] > 0
-
-    def rel(k, origin, bin_sz, limit, worigin, width):
+    def rel(k, origin, bin_sz, limit, worigin, boundm1):
         a_abs, b_abs, wa, wb = _axis_sample(k, origin, bin_sz, limit,
                                             srat)
-        a = jnp.clip(a_abs - worigin, 0.0, width - 1.0).astype(jnp.int32)
-        b = jnp.clip(b_abs - worigin, 0.0, width - 1.0).astype(jnp.int32)
+        a = jnp.clip(a_abs - worigin, 0.0, boundm1).astype(jnp.int32)
+        b = jnp.clip(b_abs - worigin, 0.0, boundm1).astype(jnp.int32)
         return a, b, wa, wb
 
-    # x-interpolation + bin-average as ONE weight matrix [ow, WINX]:
-    # Wx[j, x] = 1/srat^2 * sum_r (wa_k (x == xa_k) + wb_k (x == xb_k))
-    # for k = j*srat + r — built with iota compares on the VPU.
-    inv = 1.0 / (srat * srat)
-    xs = jax.lax.broadcasted_iota(
-        jnp.int32, (ow, WINX), 1).astype(jnp.float32)
-    js = jax.lax.broadcasted_iota(
-        jnp.int32, (ow, WINX), 0).astype(jnp.float32)
-    wx = jnp.zeros((ow, WINX), jnp.float32)
-    for r in range(srat):
-        frac = (r + 0.5) / srat
-        pos = x1 + (js + frac) * bin_w
-        inside = jnp.where((pos >= -1.0) & (pos <= wl), 1.0, 0.0)
-        p = jnp.clip(pos, 0.0, wl - 1.0)
-        a_abs = jnp.floor(p)
-        fr = p - a_abs
-        b_abs = jnp.minimum(a_abs + 1.0, wl - 1.0)
-        a_rel = jnp.clip(a_abs - wc, 0.0, WINX - 1.0)
-        b_rel = jnp.clip(b_abs - wc, 0.0, WINX - 1.0)
-        wx = (wx + (1.0 - fr) * inside * (xs == a_rel)
-              + fr * inside * (xs == b_rel))
-    wx = wx * inv
+    def tier_dim(tier, dims):
+        out = jnp.float32(dims[0])
+        for t in range(1, len(dims)):
+            out = jnp.where(tier == t, jnp.float32(dims[t]), out)
+        return out
 
-    # per output row i: fold the srat y-samples into one [cols, C] row
-    # on the VPU (contiguous reads, no scratch), then ONE MXU matmul
-    # [ow, cols] @ [cols, C] — the result lands [j, C] so out[i] needs
-    # no transpose. Small windows slice to SWINX columns (their sample
-    # cells never reach past it, so wx[:, SWINX:] is all zero).
-    for i in range(oh):
-        taps = [rel(i * srat + r, y1, bin_h, hl, wr, WIN)
-                for r in range(srat)]
+    for j in range(KROI):
+        m = n * KROI + j
+        y1 = geom_ref[8 * m]
+        x1 = geom_ref[8 * m + 1]
+        bin_h = geom_ref[8 * m + 2]
+        bin_w = geom_ref[8 * m + 3]
+        hl = geom_ref[8 * m + 4]
+        wl = geom_ref[8 * m + 5]
+        wr = geom_ref[8 * m + 6]
+        wc = geom_ref[8 * m + 7]
+        tier = wins_ref[3 * m + 2]
+        # per-RoI scalar window bounds: samples clip to the DMA'd tier
+        # extent, so wx is zero past the tier's columns and any stale
+        # buffer tail multiplies by zero in the matmul.
+        rowsm1 = tier_dim(tier, [h for h, _ in TIERS]) - 1.0
+        colsm1 = tier_dim(tier, [w for _, w in TIERS]) - 1.0
 
-        @pl.when(small)
-        def _(i=i, taps=taps):
-            rows = jnp.zeros((SWINX, c), jnp.float32)
-            for ya, yb, wa, wb in taps:
-                rows = (rows
-                        + win_buf[slot, ya, :SWINX].astype(jnp.float32)
-                        * wa
-                        + win_buf[slot, yb, :SWINX].astype(jnp.float32)
-                        * wb)
-            out_ref[0, i] = jnp.dot(
-                wx[:, :SWINX], rows,
-                preferred_element_type=jnp.float32).astype(out_ref.dtype)
+        # x-interpolation + bin-average as ONE weight matrix
+        # [ow, BUF_COLS]: Wx[j, x] = 1/srat^2 * sum_r (wa_k (x==xa_k) +
+        # wb_k (x==xb_k)) for k = j*srat + r — iota compares on the VPU.
+        inv = 1.0 / (srat * srat)
+        xs = jax.lax.broadcasted_iota(
+            jnp.int32, (ow, BUF_COLS), 1).astype(jnp.float32)
+        js = jax.lax.broadcasted_iota(
+            jnp.int32, (ow, BUF_COLS), 0).astype(jnp.float32)
+        wx = jnp.zeros((ow, BUF_COLS), jnp.float32)
+        for r in range(srat):
+            frac = (r + 0.5) / srat
+            pos = x1 + (js + frac) * bin_w
+            inside = jnp.where((pos >= -1.0) & (pos <= wl), 1.0, 0.0)
+            p = jnp.clip(pos, 0.0, wl - 1.0)
+            a_abs = jnp.floor(p)
+            fr = p - a_abs
+            b_abs = jnp.minimum(a_abs + 1.0, wl - 1.0)
+            a_rel = jnp.clip(a_abs - wc, 0.0, colsm1)
+            b_rel = jnp.clip(b_abs - wc, 0.0, colsm1)
+            wx = (wx + (1.0 - fr) * inside * (xs == a_rel)
+                  + fr * inside * (xs == b_rel))
+        wx = wx * inv
 
-        @pl.when(jnp.logical_not(small))
-        def _(i=i, taps=taps):
-            rows = jnp.zeros((WINX, c), jnp.float32)
-            for ya, yb, wa, wb in taps:
-                rows = (rows
-                        + win_buf[slot, ya].astype(jnp.float32) * wa
-                        + win_buf[slot, yb].astype(jnp.float32) * wb)
-            out_ref[0, i] = jnp.dot(
-                wx, rows,
-                preferred_element_type=jnp.float32).astype(out_ref.dtype)
+        # per output row i: fold the srat y-samples into one [cols, C]
+        # row on the VPU (contiguous reads, no scratch), then ONE MXU
+        # matmul [ow, cols] @ [cols, C] — the result lands [j, C] so
+        # out[i] needs no transpose. Two width branches: narrow
+        # (small/mid tiers, 32 cols) and full (56); within a branch the
+        # zero tail of wx makes any wider read harmless.
+        narrow = (tier == 1) | (tier == 2)
+        for i in range(oh):
+            taps = [rel(i * srat + r, y1, bin_h, hl, wr, rowsm1)
+                    for r in range(srat)]
+
+            for is_narrow, cols in ((True, MWINX), (False, BUF_COLS)):
+                pred = narrow if is_narrow else jnp.logical_not(narrow)
+
+                @pl.when(pred)
+                def _(i=i, taps=taps, j=j, wx=wx, cols=cols):
+                    rows = jnp.zeros((cols, c), jnp.float32)
+                    for ya, yb, wa, wb in taps:
+                        rows = (rows
+                                + win_buf[slot, j, ya, :cols]
+                                .astype(jnp.float32) * wa
+                                + win_buf[slot, j, yb, :cols]
+                                .astype(jnp.float32) * wb)
+                    out_ref[j, i] = jnp.dot(
+                        wx[:, :cols], rows,
+                        preferred_element_type=jnp.float32
+                    ).astype(out_ref.dtype)
 
 
 def _prep(features, boxes, image_size, oh, ow, s):
@@ -213,14 +250,14 @@ def _prep(features, boxes, image_size, oh, ow, s):
     n = boxes.shape[1]
     num_levels = len(features)
     c = features[0].shape[-1]
-    w_max = max(max(f.shape[2] for f in features), WINX)
+    w_max = max(max(f.shape[2] for f in features), BUF_COLS)
 
     per_img_rows = sum(f.shape[1] for f in features)
     canvas = jnp.concatenate([
         jnp.pad(f, ((0, 0), (0, 0), (0, w_max - f.shape[2]), (0, 0)))
         for f in features], axis=1)                    # [B, R, Wmax, C]
     canvas = canvas.reshape(bsz * per_img_rows, w_max, c)
-    canvas = jnp.pad(canvas, ((0, WIN), (0, 0), (0, 0)))
+    canvas = jnp.pad(canvas, ((0, BUF_ROWS), (0, 0), (0, 0)))
 
     heights = jnp.asarray([f.shape[1] for f in features], jnp.float32)
     widths = jnp.asarray([f.shape[2] for f in features], jnp.float32)
@@ -264,23 +301,37 @@ def _prep(features, boxes, image_size, oh, ow, s):
             jnp.floor(jnp.clip(last, 0.0, lim - 1.0)) + 1.0, lim - 1.0)
         return b_last - o_rel > width - 1.0
 
-    win_row = origin(f0y, hl, WIN, False)
-    win_col = origin(f0x, wl, WINX, True)
-    row_s = origin(f0y, hl, SWIN, False)
-    col_s = origin(f0x, wl, SWINX, True)
-    small = ~(overflow(first_y, row_s, bin_h, hl, SWIN)
-              | overflow(first_x, col_s, bin_w, wl, SWINX))
-    ovr = (overflow(first_y, win_row, bin_h, hl, WIN)
-           | overflow(first_x, win_col, bin_w, wl, WINX))
+    rows_c, cols_c, fits = [], [], []
+    for th, tw in TIERS:
+        r_t = origin(f0y, hl, th, False)
+        c_t = origin(f0x, wl, tw, True)
+        rows_c.append(r_t)
+        cols_c.append(c_t)
+        fits.append(~(overflow(first_y, r_t, bin_h, hl, th)
+                      | overflow(first_x, c_t, bin_w, wl, tw)))
+    ovr = ~(fits[0] | fits[1] | fits[2] | fits[3] | fits[4])
 
-    win_row = jnp.where(small, row_s, win_row)
-    win_col = jnp.where(small, col_s, win_col)
+    # smallest covering tier: small(2) < mid(1) < big(0) < tall(3)/
+    # wide(4); non-fitting RoIs take tall/wide clamped (by long axis)
+    # and are exactly repooled by the hybrid fix-up.
+    taller = bin_h >= bin_w
+    fallback = jnp.where(taller, 3, 4)
+    tier = jnp.where(
+        fits[2], 2, jnp.where(
+            fits[1], 1, jnp.where(
+                fits[0], 0, jnp.where(
+                    fits[3] & ~fits[4], 3, jnp.where(
+                        fits[4] & ~fits[3], 4, fallback)))))
+    tier_rows = jnp.stack(rows_c, -1)
+    tier_cols = jnp.stack(cols_c, -1)
+    win_row = jnp.take_along_axis(tier_rows, tier[:, None], -1)[:, 0]
+    win_col = jnp.take_along_axis(tier_cols, tier[:, None], -1)[:, 0]
 
     # 1D-flattened descriptors: 2D SMEM prefetch arrays are lane-padded
     # to 128 columns (v5e SMEM is only 1 MiB)
     wins = jnp.stack([base_row + win_row.astype(jnp.int32),
                       win_col.astype(jnp.int32),
-                      small.astype(jnp.int32)], axis=-1).reshape(-1)
+                      tier.astype(jnp.int32)], axis=-1).reshape(-1)
     geom = jnp.stack([y1, x1, bin_h, bin_w, hl, wl, win_row, win_col],
                      axis=-1).reshape(-1)
     return canvas, wins, geom, ovr
@@ -309,27 +360,34 @@ def multiscale_roi_align_pallas(
     canvas, wins, geom, _ = prep
 
     n_rois = bsz * n
+    n_pad = -n_rois % KROI
+    if n_pad:  # pad descriptors with safe dummies (small window at 0,0)
+        wins = jnp.concatenate([
+            wins, jnp.tile(jnp.asarray([0, 0, 2], wins.dtype), n_pad)])
+        geom = jnp.concatenate([geom, jnp.zeros((8 * n_pad,), geom.dtype)])
+    n_total = n_rois + n_pad
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_rois,),
+        grid=(n_total // KROI,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
-            (1, oh, ow, c), lambda i, *_: (i, 0, 0, 0)),
+            (KROI, oh, ow, c), lambda i, *_: (i, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((NSLOTS, WIN, WINX, c), canvas.dtype),
-            pltpu.SemaphoreType.DMA((NSLOTS,)),
+            pltpu.VMEM((NSLOTS, KROI, BUF_ROWS, BUF_COLS, c),
+                       canvas.dtype),
+            pltpu.SemaphoreType.DMA((NSLOTS, KROI)),
         ],
     )
-    kernel = partial(_roi_align_kernel, n_rois=n_rois, c=c, oh=oh, ow=ow,
+    kernel = partial(_roi_align_kernel, n_rois=n_total, c=c, oh=oh, ow=ow,
                      srat=s, debug=debug)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n_rois, oh, ow, c),
+        out_shape=jax.ShapeDtypeStruct((n_total, oh, ow, c),
                                        canvas.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
     )(wins, geom, canvas)
-    return out.reshape(bsz, n, oh, ow, c)
+    return out[:n_rois].reshape(bsz, n, oh, ow, c)
 
 
 @partial(jax.jit, static_argnames=("output_size", "sampling_ratio",

@@ -125,11 +125,19 @@ def _fixedpoint_keep(boxes: jnp.ndarray, scores: jnp.ndarray,
     reports p50/p99 on uniform/clustered/adversarial-chain candidate
     distributions.)
 
+    Large N is processed in score-ordered CHUNKS of ``chunk``: the fixed
+    point runs within each chunk (suppression-chain depth within a chunk
+    is what the while_loop pays), and each chunk is first suppressed by
+    the already-kept boxes of earlier chunks with a single matvec. This
+    is exact for the same reason the plain fixed point is — greedy
+    kept-ness of box j depends only on earlier-scored boxes — and cuts
+    the per-iteration matrix traffic from [N, N] to [chunk, chunk]
+    (measured 4.3 ms -> ~1 ms for the 5-level RPN filter at bs16).
+
     scores: -inf marks invalid. Returns (kept mask in INPUT order,
     converged bool — always True when iter_cap is None).
     """
     n = boxes.shape[0]
-    cap = n if iter_cap is None else min(iter_cap, n)
     order = jnp.argsort(-scores)  # stable: score desc, ties by index
     b = boxes[order]
     s = scores[order]
@@ -140,19 +148,62 @@ def _fixedpoint_keep(boxes: jnp.ndarray, scores: jnp.ndarray,
            & alive[None, :] & alive[:, None])
     supf = sup.astype(jnp.bfloat16)
 
-    def cond(state):
-        _, changed, it = state
-        return changed & (it < cap)
+    chunk = 256
+    if n <= chunk:
+        cap = n if iter_cap is None else min(iter_cap, n)
 
-    def body(state):
-        kept, _, it = state
-        suppressed = (supf @ kept.astype(jnp.bfloat16)) > 0.5
-        new_kept = alive & ~suppressed
-        return new_kept, jnp.any(new_kept != kept), it + 1
+        def cond(state):
+            _, changed, it = state
+            return changed & (it < cap)
 
-    kept, changed, _ = jax.lax.while_loop(
-        cond, body, (alive, jnp.array(True), jnp.zeros((), jnp.int32)))
-    return jnp.zeros((n,), bool).at[order].set(kept), ~changed
+        def body(state):
+            kept, _, it = state
+            suppressed = (supf @ kept.astype(jnp.bfloat16)) > 0.5
+            new_kept = alive & ~suppressed
+            return new_kept, jnp.any(new_kept != kept), it + 1
+
+        kept, changed, _ = jax.lax.while_loop(
+            cond, body, (alive, jnp.array(True), jnp.zeros((), jnp.int32)))
+        return jnp.zeros((n,), bool).at[order].set(kept), ~changed
+
+    # chunked: pad to a multiple of chunk (padding is never alive)
+    n_pad = -n % chunk
+    supf_p = jnp.pad(supf, ((0, n_pad), (0, n_pad)))
+    alive_p = jnp.pad(alive, (0, n_pad))
+    n_chunks = (n + n_pad) // chunk
+    cap = chunk if iter_cap is None else min(iter_cap, chunk)
+
+    def chunk_step(carry, ci):
+        kept_all, conv = carry
+        c0 = ci * chunk
+        rows = jax.lax.dynamic_slice(
+            supf_p, (c0, 0), (chunk, supf_p.shape[1]))     # [chunk, N]
+        # suppression by kept boxes of earlier chunks (kept_all is only
+        # ever set for processed chunks, so no prefix mask is needed)
+        base = (rows @ kept_all.astype(jnp.bfloat16)) > 0.5
+        alive_c = jax.lax.dynamic_slice(alive_p, (c0,), (chunk,)) & ~base
+        sub = jax.lax.dynamic_slice(rows, (0, c0), (chunk, chunk))
+
+        def cond(state):
+            _, changed, it = state
+            return changed & (it < cap)
+
+        def body(state):
+            kept, _, it = state
+            suppressed = (sub @ kept.astype(jnp.bfloat16)) > 0.5
+            new_kept = alive_c & ~suppressed
+            return new_kept, jnp.any(new_kept != kept), it + 1
+
+        kept_c, changed, _ = jax.lax.while_loop(
+            cond, body, (alive_c, jnp.array(True),
+                         jnp.zeros((), jnp.int32)))
+        kept_all = jax.lax.dynamic_update_slice(kept_all, kept_c, (c0,))
+        return (kept_all, conv & ~changed), None
+
+    (kept_p, converged), _ = jax.lax.scan(
+        chunk_step, (jnp.zeros((n + n_pad,), bool), jnp.array(True)),
+        jnp.arange(n_chunks))
+    return jnp.zeros((n,), bool).at[order].set(kept_p[:n]), converged
 
 
 def _fixedpoint_nms(boxes: jnp.ndarray, scores: jnp.ndarray,

@@ -262,6 +262,17 @@ def test_fixedpoint_exact_on_adversarial_chain():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+def test_chunked_fixedpoint_exact_across_chunk_boundaries():
+    """n > 256 runs the chunked fixed point; a suppression chain that
+    crosses chunk boundaries must still give the exact greedy result."""
+    n = 600
+    boxes, scores = _chain_boxes(n)
+    ob, osc, keep_idx, valid = N.nms(boxes, scores, 0.2, max_output=n,
+                                     method="fixedpoint")
+    kept = np.asarray(keep_idx[np.asarray(valid)])
+    np.testing.assert_array_equal(np.sort(kept), np.arange(0, n, 2))
+
+
 def test_fixedpoint_converged_flag_on_easy_input():
     rng = np.random.RandomState(0)
     boxes = jnp.asarray(rng.rand(64, 4).astype(np.float32) * 100)
