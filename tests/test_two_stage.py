@@ -232,3 +232,32 @@ def test_packed_rpn_head_matches_per_level():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(rp), np.asarray(ru),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_s2d_stem_matches_direct_7x7_conv():
+    """SpaceToDepthStem is an exact reparametrization of the 7x7/s2
+    conv (torchvision ResNet.conv1) — same params, same outputs."""
+    from object_detectors_tpu.models.resnet import SpaceToDepthStem
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    stem = SpaceToDepthStem(dtype=jnp.float32)
+    v = stem.init(jax.random.key(0), x)
+    y = stem.apply(v, x)
+
+    w = v["params"]["kernel"]
+    ref = jax.lax.conv_general_dilated(
+        x, w, (2, 2), ((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    assert y.shape == ref.shape == (2, 32, 32, 64)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    # odd-size fallback path also matches
+    xo = jnp.asarray(rng.randn(1, 33, 33, 3).astype(np.float32))
+    yo = stem.apply(v, xo)
+    refo = jax.lax.conv_general_dilated(
+        xo, w, (2, 2), ((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(yo), np.asarray(refo),
+                               rtol=1e-5, atol=1e-5)
