@@ -82,6 +82,10 @@ def main():
     def pallas_fn(fs, bx):
         return jnp.sum(multiscale_roi_align_pallas(fs, bx, img, (7, 7)))
 
+    def pallas_mm2(fs, bx):
+        return jnp.sum(multiscale_roi_align_pallas(fs, bx, img, (7, 7),
+                                                   fold="mm2"))
+
     def pallas_dbg(mode):
         def f(fs, bx):
             return jnp.sum(multiscale_roi_align_pallas(
@@ -91,14 +95,33 @@ def main():
     def hybrid_fn(fs, bx):
         return jnp.sum(multiscale_roi_align_hybrid(fs, bx, img, (7, 7)))
 
+    from object_detectors_tpu.kernels.roi_align_pallas import (
+        multiscale_roi_align_tiled,
+    )
+
+    def tiled_fn(fold="rows", debug="full"):
+        def f(fs, bx):
+            return jnp.sum(multiscale_roi_align_tiled(
+                fs, bx, img, (7, 7), fold=fold, debug=debug))
+        return f
+
+    def hybrid_tiled(fs, bx):
+        return jnp.sum(multiscale_roi_align_hybrid(fs, bx, img, (7, 7),
+                                                   mode="tiled"))
+
     variants = {
         "noop": noop,
         "flat": run_variant(R.multiscale_roi_align_flat),
         "canvas": run_variant(R.multiscale_roi_align_canvas),
         "pallas": pallas_fn,
+        "pallas_mm2": pallas_mm2,
         "pallas_dma": pallas_dbg("dma_only"),
         "pallas_compute": pallas_dbg("compute_only"),
         "hybrid": hybrid_fn,
+        "tiled": tiled_fn(),
+        "tiled_mm2": tiled_fn("mm2"),
+        "tiled_dma": tiled_fn(debug="dma_only"),
+        "hybrid_tiled": hybrid_tiled,
     }
     for name, fn in variants.items():
         if args.variants and name not in args.variants:

@@ -84,7 +84,7 @@ def _axis_sample(k, origin, bin_sz, limit, srat):
 
 def _roi_align_kernel(wins_ref, geom_ref, canvas_ref, out_ref,
                       win_buf, sems, *, n_rois, c, oh, ow, srat,
-                      debug="full"):
+                      debug="full", fold="rows"):
     """One grid step = KROI RoIs. wins_ref [N*3] i32 SMEM (canvas window
     row, 8-aligned window col, tier 0=big/1=mid/2=small); geom_ref [N*8] f32
     SMEM (y1, x1, bin_h, bin_w, H_l, W_l, win_row_rel,
@@ -212,6 +212,40 @@ def _roi_align_kernel(wins_ref, geom_ref, canvas_ref, out_ref,
                   + fr * inside * (xs == b_rel))
         wx = wx * inv
 
+        if fold == "mm2":
+            # whole-RoI compute as TWO MXU matmuls (no per-output-row
+            # loop): (1) Wy [oh, ROWS] @ F [ROWS, COLS*C] folds the y
+            # interpolation+average, (2) wx [ow, COLS] @ A' [COLS, oh*C]
+            # folds x — A' is a sublane relayout of A. Wy zeros past the
+            # tier's row extent (same zero-tail argument as wx), so the
+            # full-buffer matmul is exact regardless of tier.
+            ys = jax.lax.broadcasted_iota(
+                jnp.int32, (oh, BUF_ROWS), 1).astype(jnp.float32)
+            iis = jax.lax.broadcasted_iota(
+                jnp.int32, (oh, BUF_ROWS), 0).astype(jnp.float32)
+            wy = jnp.zeros((oh, BUF_ROWS), jnp.float32)
+            for r in range(srat):
+                frac = (r + 0.5) / srat
+                pos = y1 + (iis + frac) * bin_h
+                inside = jnp.where((pos >= -1.0) & (pos <= hl), 1.0, 0.0)
+                p = jnp.clip(pos, 0.0, hl - 1.0)
+                a_abs = jnp.floor(p)
+                fr = p - a_abs
+                b_abs = jnp.minimum(a_abs + 1.0, hl - 1.0)
+                a_rel = jnp.clip(a_abs - wr, 0.0, rowsm1)
+                b_rel = jnp.clip(b_abs - wr, 0.0, rowsm1)
+                wy = (wy + (1.0 - fr) * inside * (ys == a_rel)
+                      + fr * inside * (ys == b_rel))
+            f2d = win_buf[slot, j].reshape(
+                BUF_ROWS, BUF_COLS * c).astype(jnp.float32)
+            a = jnp.dot(wy, f2d, preferred_element_type=jnp.float32)
+            a2 = jnp.swapaxes(a.reshape(oh, BUF_COLS, c), 0, 1)
+            out2 = jnp.dot(wx, a2.reshape(BUF_COLS, oh * c),
+                           preferred_element_type=jnp.float32)
+            out_ref[j] = jnp.swapaxes(
+                out2.reshape(ow, oh, c), 0, 1).astype(out_ref.dtype)
+            continue
+
         # per output row i: fold the srat y-samples into one [cols, C]
         # row on the VPU (contiguous reads, no scratch), then ONE MXU
         # matmul [ow, cols] @ [cols, C] — the result lands [j, C] so
@@ -338,7 +372,8 @@ def _prep(features, boxes, image_size, oh, ow, s):
 
 
 @partial(jax.jit, static_argnames=("output_size", "sampling_ratio",
-                                   "image_size", "interpret", "debug"))
+                                   "image_size", "interpret", "debug",
+                                   "fold"))
 def multiscale_roi_align_pallas(
     features: Sequence[jnp.ndarray],   # per level [B, H_l, W_l, C]
     boxes: jnp.ndarray,                # [B, N, 4] xyxy image coords
@@ -348,6 +383,7 @@ def multiscale_roi_align_pallas(
     interpret: bool = False,
     prep=None,
     debug: str = "full",
+    fold: str = "rows",
 ) -> jnp.ndarray:
     """-> [B, N, oh, ow, C] f32. Window-clamped for overflow RoIs (use
     :func:`multiscale_roi_align_hybrid` for exact handling)."""
@@ -379,7 +415,7 @@ def multiscale_roi_align_pallas(
         ],
     )
     kernel = partial(_roi_align_kernel, n_rois=n_total, c=c, oh=oh, ow=ow,
-                     srat=s, debug=debug)
+                     srat=s, debug=debug, fold=fold)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_total, oh, ow, c),
@@ -390,9 +426,233 @@ def multiscale_roi_align_pallas(
     return out[:n_rois].reshape(bsz, n, oh, ow, c)
 
 
+TILE_R = 64   # tile rows; window rows <= 32 (48 tall) fit via the
+TILE_C = 80   # 32 (16 tall) row-stride; cols <= 40 (56 wide) via the
+              # 40 (24 wide) col-stride. Tile = 64x80x256 bf16 = 2.6 MB.
+
+
+def _tiled_kernel(tdesc_ref, geom_ref, canvas_ref, out_ref,
+                  tile_buf, sems, *, c, oh, ow, srat, debug="full",
+                  fold="rows"):
+    """One grid step = one RoI, SORTED by canvas tile. A tile is DMA'd
+    ONCE when its first RoI arrives (the next tile prefetches into the
+    other slot at the same moment), and every RoI in the tile samples
+    from VMEM. Windows average ~26 strided HBM segments per RoI in the
+    per-RoI kernel; tiles amortize that to ~4 (64 x 40KB segments per
+    ~18 RoIs) and cut moved bytes ~2.6x (tile overlap factor ~4 of the
+    unique canvas vs ~10 for per-RoI windows).
+
+    tdesc [N*7] i32 SMEM: (tile_row, tile_col_8aligned, slot, first,
+    start_next, next_row, next_col). geom [N*8] f32 SMEM: (y1, x1,
+    bin_h, bin_w, H_l, W_l, tile_row_base, tile_col_base) where
+    row/col_base are the tile origin in LEVEL coords (so sample cell -
+    base indexes the tile buffer)."""
+    i = pl.program_id(0)
+    trow = tdesc_ref[7 * i]
+    tcol = pl.multiple_of(tdesc_ref[7 * i + 1], 8)
+    slot = tdesc_ref[7 * i + 2]
+    first = tdesc_ref[7 * i + 3] > 0
+    startn = tdesc_ref[7 * i + 4] > 0
+    nrow = tdesc_ref[7 * i + 5]
+    ncol = pl.multiple_of(tdesc_ref[7 * i + 6], 8)
+
+    def copy(r, cc, s):
+        return pltpu.make_async_copy(
+            canvas_ref.at[pl.ds(r, TILE_R), pl.ds(cc, TILE_C), :],
+            tile_buf.at[s], sems.at[s])
+
+    if debug != "compute_only":
+        @pl.when(first & (i == 0))
+        def _():
+            copy(trow, tcol, slot).start()
+
+        @pl.when(first)
+        def _():
+            copy(trow, tcol, slot).wait()
+
+        @pl.when(startn)
+        def _():
+            copy(nrow, ncol, 1 - slot).start()
+
+    if debug == "dma_only":
+        out_ref[...] = jnp.zeros((1, oh, ow, c), out_ref.dtype)
+        return
+
+    y1 = geom_ref[8 * i]
+    x1 = geom_ref[8 * i + 1]
+    bin_h = geom_ref[8 * i + 2]
+    bin_w = geom_ref[8 * i + 3]
+    hl = geom_ref[8 * i + 4]
+    wl = geom_ref[8 * i + 5]
+    rbase = geom_ref[8 * i + 6]
+    cbase = geom_ref[8 * i + 7]
+
+    def axis_w(n_out, n_buf, origin, bin_sz, limit, base):
+        """[n_out, n_buf] interpolation+average weight matrix via iota
+        compares; zero where the sample is outside the image, so reads
+        of non-level tile data multiply by exactly zero."""
+        xs = jax.lax.broadcasted_iota(
+            jnp.int32, (n_out, n_buf), 1).astype(jnp.float32)
+        js = jax.lax.broadcasted_iota(
+            jnp.int32, (n_out, n_buf), 0).astype(jnp.float32)
+        w = jnp.zeros((n_out, n_buf), jnp.float32)
+        for r in range(srat):
+            frac = (r + 0.5) / srat
+            pos = origin + (js + frac) * bin_sz
+            inside = jnp.where((pos >= -1.0) & (pos <= limit), 1.0, 0.0)
+            p = jnp.clip(pos, 0.0, limit - 1.0)
+            a_abs = jnp.floor(p)
+            fr = p - a_abs
+            b_abs = jnp.minimum(a_abs + 1.0, limit - 1.0)
+            a_rel = jnp.clip(a_abs - base, 0.0, float(n_buf - 1))
+            b_rel = jnp.clip(b_abs - base, 0.0, float(n_buf - 1))
+            w = (w + (1.0 - fr) * inside * (xs == a_rel)
+                 + fr * inside * (xs == b_rel))
+        return w
+
+    wx = axis_w(ow, TILE_C, x1, bin_w, wl, cbase) / (srat * srat)
+
+    if fold == "mm2":
+        wy = axis_w(oh, TILE_R, y1, bin_h, hl, rbase)
+        f2d = tile_buf[slot].reshape(TILE_R, TILE_C * c).astype(
+            jnp.float32)
+        a = jnp.dot(wy, f2d, preferred_element_type=jnp.float32)
+        a2 = jnp.swapaxes(a.reshape(oh, TILE_C, c), 0, 1)
+        out2 = jnp.dot(wx, a2.reshape(TILE_C, oh * c),
+                       preferred_element_type=jnp.float32)
+        out_ref[0] = jnp.swapaxes(
+            out2.reshape(ow, oh, c), 0, 1).astype(out_ref.dtype)
+        return
+
+    for irow in range(oh):
+        taps = []
+        for r in range(srat):
+            a_abs, b_abs, wa, wb = _axis_sample(
+                irow * srat + r, y1, bin_h, hl, srat)
+            ya = jnp.clip(a_abs - rbase, 0.0,
+                          float(TILE_R - 1)).astype(jnp.int32)
+            yb = jnp.clip(b_abs - rbase, 0.0,
+                          float(TILE_R - 1)).astype(jnp.int32)
+            taps.append((ya, yb, wa, wb))
+        rows = jnp.zeros((TILE_C, c), jnp.float32)
+        for ya, yb, wa, wb in taps:
+            rows = (rows
+                    + tile_buf[slot, ya].astype(jnp.float32) * wa
+                    + tile_buf[slot, yb].astype(jnp.float32) * wb)
+        out_ref[0, irow] = jnp.dot(
+            wx, rows, preferred_element_type=jnp.float32
+        ).astype(out_ref.dtype)
+
+
+def _prep_tiled(features, boxes, image_size, oh, ow, s):
+    """Tile descriptors on top of :func:`_prep`: assign each RoI's
+    window to a 64x80 canvas tile (row stride 32 / col stride 40; the
+    tall/wide tiers use 16 / 24 so their larger windows still fit),
+    sort RoIs by tile, and emit first/prefetch bookkeeping."""
+    prep = _prep(features, boxes, image_size, oh, ow, s)
+    canvas, wins, geom, ovr = prep
+    n = ovr.shape[0]
+    wins2 = wins.reshape(n, 3)
+    geom2 = geom.reshape(n, 8)
+    crow = wins2[:, 0]
+    wcol = wins2[:, 1]
+    tier = wins2[:, 2]
+
+    # width >= TILE_C (tiny test configs) and 64-row tail for tile reads
+    pad_w = max(0, TILE_C - canvas.shape[1])
+    pad_w += -(canvas.shape[1] + pad_w) % 8
+    canvas = jnp.pad(canvas, ((0, TILE_R - BUF_ROWS), (0, pad_w),
+                              (0, 0)))
+    rtot, wmax = canvas.shape[0], canvas.shape[1]
+
+    # overflow RoIs pool garbage from tile 0 and are replaced by the
+    # exact fix-up — park them at (0, 0) so they don't mint tiles.
+    crow0 = jnp.where(ovr, 0, crow)
+    wcol0 = jnp.where(ovr, 0, wcol)
+    sr = jnp.where(tier == 3, 16, 32)
+    sc = jnp.where(tier == 4, 24, 40)
+    trow = jnp.minimum(crow0 // sr * sr, rtot - TILE_R)
+    tcol = jnp.minimum(wcol0 // sc * sc, wmax - TILE_C)
+
+    key = trow * wmax + tcol
+    perm = jnp.argsort(key)
+    inv = jnp.argsort(perm)
+    ks = key[perm]
+    trs = trow[perm]
+    tcs = tcol[perm]
+    first = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
+    dix = jnp.cumsum(first.astype(jnp.int32)) - 1
+    slot = dix % 2
+    fp = jnp.zeros((n,), jnp.int32).at[
+        jnp.where(first, dix, n)].set(jnp.arange(n, dtype=jnp.int32),
+                                      mode="drop")
+    has_next = dix < dix[-1]
+    npos = fp[jnp.clip(dix + 1, 0, n - 1)]
+    tdesc = jnp.stack([
+        trs, tcs, slot, first.astype(jnp.int32),
+        (first & has_next).astype(jnp.int32), trs[npos], tcs[npos],
+    ], axis=-1).astype(jnp.int32).reshape(-1)
+
+    gs = geom2[perm]
+    base_row = (crow[perm] - gs[:, 6]).astype(jnp.float32)
+    geom_t = jnp.concatenate([
+        gs[:, :6],
+        (trs.astype(jnp.float32) - base_row)[:, None],
+        tcs.astype(jnp.float32)[:, None],
+    ], axis=-1).reshape(-1)
+    return canvas, tdesc, geom_t, inv, ovr
+
+
+@partial(jax.jit, static_argnames=("output_size", "sampling_ratio",
+                                   "image_size", "interpret", "debug",
+                                   "fold"))
+def multiscale_roi_align_tiled(
+    features: Sequence[jnp.ndarray],   # per level [B, H_l, W_l, C]
+    boxes: jnp.ndarray,                # [B, N, 4] xyxy image coords
+    image_size: tuple,
+    output_size: tuple = (7, 7),
+    sampling_ratio: int = 2,
+    interpret: bool = False,
+    prep=None,
+    debug: str = "full",
+    fold: str = "rows",
+) -> jnp.ndarray:
+    """Tile-sorted pooler: -> [B, N, oh, ow, C]. Same coverage as the
+    per-RoI window kernel (tall/wide in-kernel; true overflow RoIs
+    produce garbage here and need the hybrid fix-up)."""
+    bsz, n = boxes.shape[:2]
+    c = features[0].shape[-1]
+    oh, ow = output_size
+    if prep is None:
+        prep = _prep_tiled(features, boxes, image_size, oh, ow,
+                           sampling_ratio)
+    canvas, tdesc, geom_t, inv, _ = prep
+    n_rois = bsz * n
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_rois,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((1, oh, ow, c), lambda i, *_: (i, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, TILE_R, TILE_C, c), canvas.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = partial(_tiled_kernel, c=c, oh=oh, ow=ow,
+                     srat=sampling_ratio, debug=debug, fold=fold)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_rois, oh, ow, c),
+                                       canvas.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tdesc, geom_t, canvas)
+    return out[inv].reshape(bsz, n, oh, ow, c)
+
+
 @partial(jax.jit, static_argnames=("output_size", "sampling_ratio",
                                    "image_size", "interpret",
-                                   "fixup_capacity"))
+                                   "fixup_capacity", "mode"))
 def multiscale_roi_align_hybrid(
     features: Sequence[jnp.ndarray],   # per level [B, H_l, W_l, C]
     boxes: jnp.ndarray,                # [B, N, 4]
@@ -401,6 +661,7 @@ def multiscale_roi_align_hybrid(
     sampling_ratio: int = 2,
     fixup_capacity: int = 16,
     interpret: bool = False,
+    mode: str = "windows",             # "windows" | "tiled"
 ) -> jnp.ndarray:
     """Pallas windows for the bulk + exact XLA-gather repool of up to
     ``fixup_capacity`` window-overflow RoIs per image. Bitwise-matches
@@ -409,14 +670,20 @@ def multiscale_roi_align_hybrid(
     bsz, n = boxes.shape[:2]
     oh, ow = output_size
     s = sampling_ratio
-    prep = _prep(features, boxes, image_size, oh, ow, s)
-    out = multiscale_roi_align_pallas(
-        features, boxes, image_size, output_size, s,
-        interpret=interpret, prep=prep)
+    if mode == "tiled":
+        prep = _prep_tiled(features, boxes, image_size, oh, ow, s)
+        out = multiscale_roi_align_tiled(
+            features, boxes, image_size, output_size, s,
+            interpret=interpret, prep=prep)
+    else:
+        prep = _prep(features, boxes, image_size, oh, ow, s)
+        out = multiscale_roi_align_pallas(
+            features, boxes, image_size, output_size, s,
+            interpret=interpret, prep=prep)
     if fixup_capacity <= 0:
         return out
 
-    ovr = prep[3].reshape(bsz, n)
+    ovr = prep[-1].reshape(bsz, n)
     k = min(fixup_capacity, n)
     _, idx = jax.lax.top_k(ovr.astype(jnp.float32), k)   # [B, k]
     sel_ovr = jnp.take_along_axis(ovr, idx, axis=1)      # [B, k]

@@ -81,3 +81,54 @@ def test_pallas_pooler_is_differentiable_via_canvas_vjp():
     for a, b in zip(g_p, g_c):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_mm2_fold_matches_rows_fold():
+    """The two-matmul compute (fold='mm2') must equal the per-row fold
+    and the XLA reference on in-window RoIs."""
+    feats, boxes = _setup(seed=5)
+    boxes[..., 2] = np.minimum(boxes[..., 2], boxes[..., 0] + 100)
+    boxes[..., 3] = np.minimum(boxes[..., 3], boxes[..., 1] + 100)
+    bj = jnp.asarray(boxes)
+    ref = jax.vmap(lambda f, bx: multiscale_roi_align_flat(
+        f, bx, (256, 256), (7, 7)))(feats, bj)
+    out = multiscale_roi_align_pallas(feats, bj, (256, 256), (7, 7),
+                                      interpret=True, fold="mm2")
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_tiled_pooler_matches_reference():
+    """Tile-sorted pooler must match the XLA pooler exactly on every
+    RoI the window tiers cover (incl. tall/wide aspect extremes)."""
+    from object_detectors_tpu.kernels.roi_align_pallas import (
+        multiscale_roi_align_tiled,
+    )
+
+    feats, boxes = _setup(seed=7)
+    boxes[..., 2] = np.minimum(boxes[..., 2], boxes[..., 0] + 100)
+    boxes[..., 3] = np.minimum(boxes[..., 3], boxes[..., 1] + 100)
+    # a few aspect-extreme (tall/wide tier) RoIs
+    boxes[0, :2] = [[5, 5, 40, 200], [10, 10, 200, 40]]
+    bj = jnp.asarray(boxes)
+    ref = jax.vmap(lambda f, bx: multiscale_roi_align_flat(
+        f, bx, (256, 256), (7, 7)))(feats, bj)
+    for fold in ("rows", "mm2"):
+        out = multiscale_roi_align_tiled(
+            feats, bj, (256, 256), (7, 7), interpret=True, fold=fold)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                                   rtol=1e-4, atol=1e-5, err_msg=fold)
+
+
+def test_hybrid_tiled_exact_with_extreme_aspects():
+    """hybrid(mode='tiled') repools true-overflow RoIs exactly."""
+    feats, boxes = _setup(seed=3)
+    boxes[0, :4] = [[0, 0, 256, 256], [250, 250, 256, 256],
+                    [0, 0, 256, 6], [3, 0, 9, 256]]
+    bj = jnp.asarray(boxes)
+    ref = jax.vmap(lambda f, bx: multiscale_roi_align_flat(
+        f, bx, (256, 256), (7, 7)))(feats, bj)
+    out = multiscale_roi_align_hybrid(feats, bj, (256, 256), (7, 7),
+                                      interpret=True, mode="tiled")
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               rtol=1e-4, atol=1e-5)
