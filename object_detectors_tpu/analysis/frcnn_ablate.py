@@ -36,7 +36,7 @@ from object_detectors_tpu.ops import boxes as box_ops  # noqa: E402
 from object_detectors_tpu.ops.roi_align import pool_multiscale  # noqa: E402
 
 
-def build_stages(size, dtype):
+def build_stages(size, dtype, pooler="auto"):
     cfg = FR.FasterRCNNConfig(num_classes=91)
     model = FR.FasterRCNN(cfg, dtype=dtype)
     x0 = jnp.zeros((1, size, size, 3), dtype)
@@ -87,13 +87,13 @@ def build_stages(size, dtype):
     def plus_roialign(images):
         feats, pb, pv = _through_filter(images)
         pooled = pool_multiscale(tuple(feats[:4]), pb, images.shape[1:3],
-                                 (7, 7))
+                                 (7, 7), method=pooler)
         return jnp.sum(pooled.astype(jnp.float32))
 
     def plus_heads(images):
         feats, pb, pv = _through_filter(images)
         pooled = pool_multiscale(tuple(feats[:4]), pb, images.shape[1:3],
-                                 (7, 7))
+                                 (7, 7), method=pooler)
         h = RH.TwoMLPHead(1024, dtype=dtype).apply(headv, pooled)
         lg, rg = RH.FastRCNNPredictor(91, dtype=dtype).apply(predv, h)
         return jnp.sum(lg.astype(jnp.float32))
@@ -127,10 +127,12 @@ def main():
     ap.add_argument("--size", type=int, default=640)
     ap.add_argument("--f32", action="store_true")
     ap.add_argument("--stages", nargs="*", default=None)
+    ap.add_argument("--pooler", default="auto",
+                    help="auto|pallas|pallas_tiled|canvas")
     args = ap.parse_args()
     dtype = jnp.float32 if args.f32 else jnp.bfloat16
 
-    stages = build_stages(args.size, dtype)
+    stages = build_stages(args.size, dtype, pooler=args.pooler)
     rng = np.random.RandomState(0)
     images = jnp.asarray(
         rng.rand(args.bs, args.size, args.size, 3).astype(np.float32),

@@ -352,9 +352,9 @@ def _pool_canvas_batched(features, boxes, image_size, output_size,
     )(tuple(features), boxes)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def _pool_pallas(features, boxes, image_size, output_size,
-                 sampling_ratio, interpret=False):
+                 sampling_ratio, interpret=False, mode="windows"):
     """Pallas window-DMA pooler with a differentiable backward.
 
     pallas_call has no VJP, so jax.grad through the raw kernel raises;
@@ -368,18 +368,18 @@ def _pool_pallas(features, boxes, image_size, output_size,
 
     return multiscale_roi_align_hybrid(
         tuple(features), boxes, image_size, output_size, sampling_ratio,
-        interpret=interpret)
+        interpret=interpret, mode=mode)
 
 
 def _pool_pallas_fwd(features, boxes, image_size, output_size,
-                     sampling_ratio, interpret=False):
+                     sampling_ratio, interpret=False, mode="windows"):
     out = _pool_pallas(features, boxes, image_size, output_size,
-                       sampling_ratio, interpret)
+                       sampling_ratio, interpret, mode)
     return out, (tuple(features), boxes)
 
 
 def _pool_pallas_bwd(image_size, output_size, sampling_ratio, interpret,
-                     res, g):
+                     mode, res, g):
     features, boxes = res
     primal, vjp = jax.vjp(
         lambda fs, bx: _pool_canvas_batched(
@@ -408,9 +408,11 @@ def pool_multiscale(features, boxes, image_size, output_size=(7, 7),
     if method == "auto":
         platform = _jax.devices()[0].platform
         method = "pallas" if platform == "tpu" else "canvas"
-    if method == "pallas":
+    if method in ("pallas", "pallas_tiled"):
         return _pool_pallas(tuple(features), boxes, image_size,
-                            tuple(output_size), sampling_ratio)
+                            tuple(output_size), sampling_ratio, False,
+                            "tiled" if method == "pallas_tiled"
+                            else "windows")
     pool = {"canvas": multiscale_roi_align_canvas,
             "flat": multiscale_roi_align_flat}[method]
     return jax.vmap(
