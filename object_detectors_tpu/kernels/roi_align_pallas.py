@@ -86,7 +86,8 @@ def _roi_align_kernel(wins_ref, geom_ref, canvas_ref, out_ref,
                       win_buf, sems, *, n_rois, c, oh, ow, srat,
                       debug="full", fold="rows"):
     """One grid step = KROI RoIs. wins_ref [N*3] i32 SMEM (canvas window
-    row, 8-aligned window col, tier 0=big/1=mid/2=small); geom_ref [N*8] f32
+    row, 8-aligned window col, tier index into TIERS: 0=big 1=mid
+    2=small 3=tall 4=wide); geom_ref [N*8] f32
     SMEM (y1, x1, bin_h, bin_w, H_l, W_l, win_row_rel,
     win_col_rel_aligned) — flattened 1D because SMEM pads the minor dim
     of 2D arrays to 128 lanes. N is padded to a multiple of KROI.

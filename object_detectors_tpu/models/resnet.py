@@ -15,6 +15,7 @@ see :func:`trainable_mask` which produces the optax mask matching
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Callable, Sequence
 
 import jax
@@ -75,6 +76,37 @@ class SpaceToDepthStem(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
+class _ConvKernel(nn.Module):
+    """Declares nn.Conv's kernel param (same name/shape/init) without
+    executing the conv — lets the fused eval path read raw weights
+    while keeping the parameter tree identical to the Flax path."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape, jnp.float32)
+
+
+class _FrozenBNVars(nn.Module):
+    """Declares FrozenBatchNorm's 'frozen' variables without running."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        get = lambda name, init: self.variable(  # noqa: E731
+            "frozen", name, lambda: init(self.features, jnp.float32)
+        ).value
+        return {
+            "weight": get("weight", jnp.ones),
+            "bias": get("bias", jnp.zeros),
+            "running_mean": get("running_mean", jnp.zeros),
+            "running_var": get("running_var", jnp.ones),
+        }
+
+
 class Bottleneck(nn.Module):
     planes: int
     strides: int = 1
@@ -82,9 +114,48 @@ class Bottleneck(nn.Module):
     norm: str = "frozen"
     dtype: Any = jnp.float32
     expansion: int = 4
+    # "auto": fused Pallas block on TPU eval (stride-1, frozen-BN, bf16);
+    # "off": always Flax; "interpret": fused via interpret (tests).
+    # Default off until each deployment validates the Mosaic compile on
+    # its chip (flip via ResNet(fused="auto")).
+    fused: str = "off"
+
+    def _fused_eval(self, x):
+        from object_detectors_tpu.kernels.fused_block import (
+            fold_bn, fused_bottleneck,
+        )
+
+        cin = x.shape[-1]
+        cm = self.planes
+        cout = self.planes * self.expansion
+        w1 = _ConvKernel((1, 1, cin, cm), name="conv1")()
+        bn1 = _FrozenBNVars(cm, name="bn1")()
+        w2 = _ConvKernel((3, 3, cm, cm), name="conv2")()
+        bn2 = _FrozenBNVars(cm, name="bn2")()
+        w3 = _ConvKernel((1, 1, cm, cout), name="conv3")()
+        bn3 = _FrozenBNVars(cout, name="bn3")()
+        w1f, b1 = fold_bn(w1[0, 0], bn1, self.dtype)
+        w2f, b2 = fold_bn(w2, bn2, self.dtype)
+        w3f, b3 = fold_bn(w3[0, 0], bn3, self.dtype)
+        wdf = bd = None
+        if self.downsample:
+            wd = _ConvKernel((1, 1, cin, cout), name="down_conv")()
+            bnd = _FrozenBNVars(cout, name="down_bn")()
+            wdf, bd = fold_bn(wd[0, 0], bnd, self.dtype)
+        return fused_bottleneck(x.astype(self.dtype), w1f, b1, w2f, b2,
+                                w3f, b3, wdf, bd, tr=8,
+                                interpret=self.fused == "interpret")
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        use_fused = (
+            self.fused != "off" and not train and self.strides == 1
+            and self.norm == "frozen" and self.dtype == jnp.bfloat16
+            and x.shape[1] % 2 == 0
+            and (self.fused == "interpret"
+                 or jax.devices()[0].platform == "tpu"))
+        if use_fused:
+            return self._fused_eval(x)
         identity = x
         out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
                       param_dtype=jnp.float32, name="conv1")(x)
@@ -149,11 +220,16 @@ class ResNet(nn.Module):
     block: str = "bottleneck"
     norm: str = "frozen"
     dtype: Any = jnp.float32
+    fused: str = "off"  # fused eval bottleneck kernel (see Bottleneck)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        block_cls = Bottleneck if self.block == "bottleneck" else BasicBlock
-        expansion = 4 if self.block == "bottleneck" else 1
+        if self.block == "bottleneck":
+            block_cls = partial(Bottleneck, fused=self.fused)
+            expansion = 4
+        else:
+            block_cls = BasicBlock
+            expansion = 1
 
         x = SpaceToDepthStem(dtype=self.dtype, name="conv1")(x)
         x = _norm(64, self.norm, self.dtype, "bn1")(x)
