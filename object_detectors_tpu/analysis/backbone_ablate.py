@@ -58,6 +58,7 @@ class Prefix(nn.Module):
     n_stages: int
     layers: tuple = (3, 4, 6, 3)
     dtype: any = jnp.bfloat16
+    fused: str = "off"
 
     @nn.compact
     def __call__(self, x):
@@ -66,10 +67,11 @@ class Prefix(nn.Module):
         for stage in range(self.n_stages):
             stride = 1 if stage == 0 else 2
             x = Bottleneck(planes, stride, downsample=True, norm="frozen",
-                           dtype=self.dtype,
+                           dtype=self.dtype, fused=self.fused,
                            name=f"layer{stage+1}_block0")(x, False)
             for i in range(1, self.layers[stage]):
                 x = Bottleneck(planes, 1, norm="frozen", dtype=self.dtype,
+                               fused=self.fused,
                                name=f"layer{stage+1}_block{i}")(x, False)
             planes *= 2
         return x
@@ -92,6 +94,8 @@ def main():
     ap.add_argument("--bs", type=int, default=16)
     ap.add_argument("--size", type=int, default=640)
     ap.add_argument("--f32", action="store_true")
+    ap.add_argument("--fused", action="store_true",
+                    help="fused Pallas bottleneck blocks (eval)")
     args = ap.parse_args()
     dtype = jnp.float32 if args.f32 else jnp.bfloat16
 
@@ -105,14 +109,15 @@ def main():
     sv = stem.init(jax.random.key(0), images[:1])
     stages["stem"] = lambda im: jnp.sum(
         stem.apply(sv, im).astype(jnp.float32))
+    fused = "auto" if args.fused else "off"
     for n in range(1, 5):
-        pref = Prefix(n, dtype=dtype)
+        pref = Prefix(n, dtype=dtype, fused=fused)
         pv = pref.init(jax.random.key(0), images[:1])
         stages[f"+layer{n}"] = (
             lambda im, pref=pref, pv=pv: jnp.sum(
                 pref.apply(pv, im).astype(jnp.float32)))
     bb = BackboneWithFPN(ResNet((3, 4, 6, 3), "bottleneck", "frozen",
-                                dtype),
+                                dtype, fused=fused),
                          out_channels=256, extra_blocks="pool",
                          returned_layers=(1, 2, 3, 4))
     bv = bb.init(jax.random.key(0), images[:1], False)
