@@ -132,3 +132,34 @@ def test_hybrid_tiled_exact_with_extreme_aspects():
                                       interpret=True, mode="tiled")
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_tiled_pooler_single_tile_and_single_roi():
+    """Degenerate tile bookkeeping: one RoI, and all RoIs in one tile."""
+    from object_detectors_tpu.kernels.roi_align_pallas import (
+        multiscale_roi_align_tiled,
+    )
+
+    rng = np.random.RandomState(11)
+    feats = tuple(
+        jnp.asarray(rng.randn(1, 256 // s, 256 // s, 8)
+                    .astype(np.float32))
+        for s in (4, 8, 16, 32))
+    # single RoI
+    b1 = jnp.asarray([[[10.0, 12.0, 60.0, 70.0]]])
+    ref = jax.vmap(lambda f, bx: multiscale_roi_align_flat(
+        f, bx, (256, 256), (7, 7)))(feats, b1)
+    out = multiscale_roi_align_tiled(feats, b1, (256, 256), (7, 7),
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               rtol=1e-4, atol=1e-5)
+    # many RoIs, all in the same small neighborhood (one tile)
+    base = np.tile(np.asarray([[20, 20, 70, 72.0]], np.float32), (16, 1))
+    base += rng.rand(16, 4).astype(np.float32) * 3
+    bm = jnp.asarray(base[None])
+    ref = jax.vmap(lambda f, bx: multiscale_roi_align_flat(
+        f, bx, (256, 256), (7, 7)))(feats, bm)
+    out = multiscale_roi_align_tiled(feats, bm, (256, 256), (7, 7),
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               rtol=1e-4, atol=1e-5)
