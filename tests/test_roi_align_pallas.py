@@ -163,3 +163,21 @@ def test_tiled_pooler_single_tile_and_single_roi():
                                      interpret=True)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_tiled_pooler_14x14_output():
+    """Mask-head pooling (14x14 output) through the tiled kernel."""
+    from object_detectors_tpu.kernels.roi_align_pallas import (
+        multiscale_roi_align_tiled,
+    )
+
+    feats, boxes = _setup(seed=9, n=12)
+    boxes[..., 2] = np.minimum(boxes[..., 2], boxes[..., 0] + 100)
+    boxes[..., 3] = np.minimum(boxes[..., 3], boxes[..., 1] + 100)
+    bj = jnp.asarray(boxes)
+    ref = jax.vmap(lambda f, bx: multiscale_roi_align_flat(
+        f, bx, (256, 256), (14, 14)))(feats, bj)
+    out = multiscale_roi_align_tiled(feats, bj, (256, 256), (14, 14),
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               rtol=1e-4, atol=1e-5)

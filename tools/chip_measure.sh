@@ -1,0 +1,44 @@
+#!/bin/bash
+# Round-3 chip measurement queue — run when the axon tunnel is back.
+# Each step appends to /tmp/chip_measure.log; keep the host otherwise
+# idle (1 CPU core: concurrent load skews kernel timings 2x).
+set -u
+cd /root/repo
+LOG=/tmp/chip_measure.log
+echo "=== chip_measure $(date) ===" >> "$LOG"
+
+run() {
+  echo "--- $1 ---" >> "$LOG"
+  shift
+  timeout 2400 "$@" 2>&1 | grep -v "WARNING\|cpu_aot" >> "$LOG"
+  echo "" >> "$LOG"
+}
+
+# 1. pooler kernel A/B: per-RoI windows vs tiled, fold variants
+run "roialign variants" \
+  python -m object_detectors_tpu.analysis.roialign_bench \
+  --variants noop pallas pallas_mm2 pallas_compute tiled tiled_mm2 \
+  tiled_dma hybrid hybrid_tiled
+
+# 2. backbone: s2d stem + fused blocks A/B
+run "backbone (s2d stem, unfused)" \
+  python -m object_detectors_tpu.analysis.backbone_ablate --bs 16
+run "backbone (s2d stem, fused blocks)" \
+  python -m object_detectors_tpu.analysis.backbone_ablate --bs 16 --fused
+
+# 3. FRCNN end-to-end stage ablation, both poolers
+run "frcnn ablate (window pooler)" \
+  python -m object_detectors_tpu.analysis.frcnn_ablate --bs 16
+run "frcnn ablate (tiled pooler)" \
+  python -m object_detectors_tpu.analysis.frcnn_ablate --bs 16 \
+  --pooler pallas_tiled
+
+# 4. RetinaNet stage ablation
+run "retinanet ablate" \
+  python -m object_detectors_tpu.analysis.retinanet_ablate --bs 16
+
+# 5. Darknet stage ablation (YOLO backbone stem pathology check)
+run "darknet ablate" \
+  python -m object_detectors_tpu.analysis.darknet_ablate --bs 32
+
+echo "=== done $(date) ===" >> "$LOG"
