@@ -35,6 +35,7 @@ class FasterRCNNConfig:
     rpn: RPN.RPNConfig = RPN.RPNConfig()
     roi: RH.RoIHeadsConfig = RH.RoIHeadsConfig()
     resnet_layers: tuple = (3, 4, 6, 3)
+    backbone_fused: str = "off"  # fused eval bottlenecks (resnet.py)
 
 
 class FasterRCNN(nn.Module):
@@ -44,7 +45,7 @@ class FasterRCNN(nn.Module):
     def setup(self):
         self.backbone = BackboneWithFPN(
             ResNet(self.cfg.resnet_layers, "bottleneck", "frozen",
-                   self.dtype),
+                   self.dtype, fused=self.cfg.backbone_fused),
             out_channels=256, extra_blocks="pool",
             returned_layers=(1, 2, 3, 4), name="backbone")
         self.rpn_head = RPN.RPNHead(num_anchors=3, dtype=self.dtype,

@@ -196,7 +196,7 @@ class MaskRCNN(nn.Module):
     def setup(self):
         self.backbone = BackboneWithFPN(
             ResNet(self.cfg.resnet_layers, "bottleneck", "frozen",
-                   self.dtype),
+                   self.dtype, fused=getattr(self.cfg, 'backbone_fused', 'off')),
             out_channels=256, extra_blocks="pool",
             returned_layers=(1, 2, 3, 4), name="backbone")
         self.rpn_head = RPN.RPNHead(num_anchors=3, dtype=self.dtype,

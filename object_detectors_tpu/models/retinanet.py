@@ -184,10 +184,12 @@ class RetinaNet(nn.Module):
     num_classes: int = 91
     resnet_layers: Sequence[int] = (3, 4, 6, 3)
     dtype: Any = jnp.float32
+    backbone_fused: str = "off"  # fused eval bottlenecks (resnet.py)
 
     def setup(self):
         self.backbone = BackboneWithFPN(
-            ResNet(self.resnet_layers, "bottleneck", "frozen", self.dtype),
+            ResNet(self.resnet_layers, "bottleneck", "frozen", self.dtype,
+                   fused=self.backbone_fused),
             out_channels=256, extra_blocks="p6p7",
             returned_layers=(2, 3, 4), name="backbone")
         self.head = RetinaNetHead(self.num_classes, dtype=self.dtype,
