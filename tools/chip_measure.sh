@@ -41,4 +41,8 @@ run "retinanet ablate" \
 run "darknet ablate" \
   python -m object_detectors_tpu.analysis.darknet_ablate --bs 32
 
+# 6. exact big-k selection primitives (RPN/RetinaNet topk)
+run "topk primitives" \
+  python -m object_detectors_tpu.analysis.topk_bench
+
 echo "=== done $(date) ===" >> "$LOG"
