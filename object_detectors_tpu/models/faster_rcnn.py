@@ -105,7 +105,8 @@ class FasterRCNN(nn.Module):
         # — Pallas window kernel on TPU, XLA canvas gather elsewhere
         pooled = pool_multiscale(
             tuple(feats[:4]), roi_boxes, (img_h, img_w),
-            cfg.roi.pool_size).astype(self.dtype)
+            cfg.roi.pool_size,
+            method=cfg.roi.pooler_method).astype(self.dtype)
 
         x = self.box_head(pooled)
         class_logits, box_regression = self.box_predictor(x)

@@ -259,7 +259,8 @@ class KeypointRCNN(nn.Module):
     def _kp_branch(self, feats, boxes, img_h, img_w, b):
         pooled = pool_multiscale(
             tuple(feats[:4]), boxes, (img_h, img_w),
-            self.cfg.keypoint_pool_size)
+            self.cfg.keypoint_pool_size,
+            method=self.cfg.roi.pooler_method)
         kl = self.kp_predictor(self.kp_head(
             pooled.reshape((-1,) + pooled.shape[2:])))
         hm = kl.shape[1]
@@ -307,7 +308,8 @@ class KeypointRCNN(nn.Module):
             roi_boxes = prop_boxes
 
         pooled = pool_multiscale(
-            tuple(feats[:4]), roi_boxes, (img_h, img_w), cfg.roi.pool_size)
+            tuple(feats[:4]), roi_boxes, (img_h, img_w), cfg.roi.pool_size,
+            method=cfg.roi.pooler_method)
         x = self.box_head(pooled)
         class_logits, box_regression = self.box_predictor(x)
         class_logits = class_logits.astype(jnp.float32)

@@ -245,7 +245,8 @@ class MaskRCNN(nn.Module):
             roi_boxes = prop_boxes
 
         pooled = pool_multiscale(
-            tuple(feats[:4]), roi_boxes, (img_h, img_w), cfg.roi.pool_size)
+            tuple(feats[:4]), roi_boxes, (img_h, img_w), cfg.roi.pool_size,
+            method=cfg.roi.pooler_method)
         x = self.box_head(pooled)
         class_logits, box_regression = self.box_predictor(x)
         class_logits = class_logits.astype(jnp.float32)
@@ -261,7 +262,8 @@ class MaskRCNN(nn.Module):
             # mask branch on the positive samples (we keep the full
             # fixed-size sample set and mask the loss by positivity)
             mask_pooled = pool_multiscale(
-            tuple(feats[:4]), roi_boxes, (img_h, img_w), cfg.mask_pool_size)
+            tuple(feats[:4]), roi_boxes, (img_h, img_w), cfg.mask_pool_size,
+            method=cfg.roi.pooler_method)
             ml = self.mask_predictor(self.mask_head(
                 mask_pooled.reshape((-1,) + mask_pooled.shape[2:])))
             m_out = ml.shape[1]
@@ -279,7 +281,8 @@ class MaskRCNN(nn.Module):
             (img_h, img_w), cfg.roi,
             tfidf_post=1.0 if tfidf is None else tfidf)
         mask_pooled = pool_multiscale(
-            tuple(feats[:4]), boxes, (img_h, img_w), cfg.mask_pool_size)
+            tuple(feats[:4]), boxes, (img_h, img_w), cfg.mask_pool_size,
+            method=cfg.roi.pooler_method)
         ml = self.mask_predictor(self.mask_head(
             mask_pooled.reshape((-1,) + mask_pooled.shape[2:])))
         m_out = ml.shape[1]

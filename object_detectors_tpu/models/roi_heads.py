@@ -56,6 +56,8 @@ class RoIHeadsConfig:
     pre_nms_candidates: int = 1000
     loss_type: str = "ce"          # ce|bce|focal_loss|gombit|gombit_fl
     pool_size: tuple = (7, 7)
+    # pool_multiscale dispatch: auto | pallas | pallas_tiled | canvas
+    pooler_method: str = "auto"
     # tf-idf minibatch recompute (roi_heads.py:801-809 / train.py:115):
     # when True the training logit scale is log((B+1)/(df_batch+1))+1
     # from the batch's per-image class presence, replacing the dataset

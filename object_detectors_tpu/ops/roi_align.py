@@ -408,10 +408,11 @@ def pool_multiscale(features, boxes, image_size, output_size=(7, 7),
     if method == "auto":
         platform = _jax.devices()[0].platform
         method = "pallas" if platform == "tpu" else "canvas"
-    if method in ("pallas", "pallas_tiled"):
+    if method.startswith(("pallas", "pallas_tiled")):
+        interpret = method.endswith("_interpret")  # CPU parity tests
         return _pool_pallas(tuple(features), boxes, image_size,
-                            tuple(output_size), sampling_ratio, False,
-                            "tiled" if method == "pallas_tiled"
+                            tuple(output_size), sampling_ratio, interpret,
+                            "tiled" if method.startswith("pallas_tiled")
                             else "windows")
     pool = {"canvas": multiscale_roi_align_canvas,
             "flat": multiscale_roi_align_flat}[method]

@@ -261,3 +261,30 @@ def test_s2d_stem_matches_direct_7x7_conv():
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     np.testing.assert_allclose(np.asarray(yo), np.asarray(refo),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_frcnn_detections_identical_with_tiled_pooler():
+    """FULL FasterRCNN eval: the tiled pooler must reproduce the canvas
+    pooler's detections exactly (boxes, scores, labels, validity)."""
+    import dataclasses
+
+    from object_detectors_tpu.models.faster_rcnn import (
+        FasterRCNN, FasterRCNNConfig,
+    )
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    outs = {}
+    for method in ("canvas", "pallas_tiled_interpret"):
+        cfg = FasterRCNNConfig(
+            num_classes=5, rpn=TINY_RPN,
+            roi=dataclasses.replace(TINY_ROI, pooler_method=method),
+            resnet_layers=(1, 1, 1, 1))
+        model = FasterRCNN(cfg, dtype=jnp.float32)
+        v = model.init(jax.random.key(0), x, train=False)
+        outs[method] = model.apply(v, x, train=False)
+    a, b = outs["canvas"], outs["pallas_tiled_interpret"]
+    for name, av, bv in zip(("boxes", "scores", "labels", "valid"),
+                            a, b):
+        np.testing.assert_allclose(np.asarray(av), np.asarray(bv),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
