@@ -51,7 +51,8 @@ def rcnn_batches(dataset, batch_size, canvas: int, max_boxes=100,
                  shuffle=False, seed=0, min_size=800, max_size=1333,
                  process_index=0, process_count=1, hflip_rng=None,
                  with_masks=False, with_keypoints=False,
-                 augmentation="hflip", ar_group_factor=-1):
+                 augmentation="hflip", ar_group_factor=-1,
+                 device_ingest=False, native_canvas=None):
     """Padded R-CNN batches: normalized images on a fixed square canvas,
     GT as absolute xyxy + 1-based labels (background = 0).
 
@@ -63,7 +64,19 @@ def rcnn_batches(dataset, batch_size, canvas: int, max_boxes=100,
     + hflip), 'ssdlite' (IoU crop + hflip). The crop/zoom presets skip
     mask batches (the reference never pairs them either).
     ar_group_factor >= 0 enables aspect-ratio grouped batching
-    (train.py:83-85 / group_by_aspect_ratio.py)."""
+    (train.py:83-85 / group_by_aspect_ratio.py).
+    device_ingest (eval only): the host keeps just JPEG decode — images
+    are yielded as a uint8 native-resolution canvas [B, nc, nc, 3] plus
+    true ``sizes``; the min/max-size bilinear resize + normalize + pad
+    run on device (kernels/preprocess.rcnn_resize_normalize_from_canvas,
+    BASELINE.json north-star item). GT boxes/scales are still computed
+    on the host with the identical scale formula. ``native_canvas``
+    defaults to the dataset's max image side (images larger are
+    host-downscaled to fit — rare)."""
+    if device_ingest and native_canvas is None:
+        # size metadata is in the COCO image records — no decode needed
+        infos = [dataset._images[i] for i in dataset.ids]
+        native_canvas = max(max(d["height"], d["width"]) for d in infos)
     order = data_coco.shard_indices(len(dataset), process_index,
                                     process_count, shuffle, seed)
     if ar_group_factor is not None and ar_group_factor >= 0:
@@ -80,9 +93,13 @@ def rcnn_batches(dataset, batch_size, canvas: int, max_boxes=100,
         batch_lists = [order[i0:i0 + batch_size].tolist()
                        for i0 in range(0, len(order), batch_size)]
 
+    if device_ingest:
+        assert hflip_rng is None and not with_masks and not \
+            with_keypoints, "device_ingest is an eval-path mode"
+
     def produce(idx_list):
-        imgs, bxs, lbs, vds, ids, scales, msks, kplist = \
-            [], [], [], [], [], [], [], []
+        imgs, bxs, lbs, vds, ids, scales, msks, kplist, szs = \
+            [], [], [], [], [], [], [], [], []
         for idx in idx_list:
             image, tgt = dataset[int(idx)]
             boxes = tgt["boxes_xywh"].copy()
@@ -131,10 +148,43 @@ def rcnn_batches(dataset, batch_size, canvas: int, max_boxes=100,
             if isinstance(min_size, (tuple, list)):
                 ms = (min_size[hflip_rng.randint(len(min_size))]
                       if hflip_rng is not None else min_size[-1])
-            padded, sboxes, true_size, scale = T.rcnn_resize(
-                image, boxes, min_size=ms, max_size=max_size,
-                pad_to=(canvas, canvas))
-            img = T.normalize_image(padded)
+            if device_ingest:
+                # host keeps only decode: native uint8 on a fixed
+                # canvas; scale computed with the formula the device
+                # kernel replays so GT/scale_factors agree exactly
+                h0, w0 = image.shape[:2]
+                if h0 > native_canvas or w0 > native_canvas:
+                    from PIL import Image
+
+                    r = min(native_canvas / h0, native_canvas / w0)
+                    nh0, nw0 = max(int(h0 * r), 1), max(int(w0 * r), 1)
+                    image = np.asarray(Image.fromarray(
+                        image.astype(np.uint8)).resize(
+                            (nw0, nh0), Image.BILINEAR))
+                    if boxes.size:
+                        boxes = boxes * min(nh0 / h0, nw0 / w0)
+                    h0, w0 = nh0, nw0
+                scale = min(
+                    T.min_max_resize_factor(h0, w0, ms, max_size),
+                    canvas / h0, canvas / w0)
+                img = np.zeros((native_canvas, native_canvas, 3),
+                               np.uint8)
+                img[:h0, :w0] = image.astype(np.uint8)
+                sboxes = (boxes.astype(np.float32) * scale if boxes.size
+                          else np.zeros((0, 4), np.float32))
+                true_size = (h0, w0)
+                szs.append((h0, w0))
+            else:
+                padded, sboxes, true_size, scale = T.rcnn_resize(
+                    image, boxes, min_size=ms, max_size=max_size,
+                    pad_to=(canvas, canvas))
+                # normalize BEFORE padding like the reference
+                # (transform.py normalizes :129-138 then batch_images
+                # zero-pads :208-226) — the pad region must be 0 in
+                # normalized space, not normalize(0) = -mean/std
+                img = T.normalize_image(padded)
+                img[true_size[0]:] = 0.0
+                img[:, true_size[1]:] = 0.0
             b, l, v = T.pad_targets(sboxes, labels, max_boxes)
             if kps is not None:
                 kp = np.asarray(kps, np.float32).copy()
@@ -172,14 +222,19 @@ def rcnn_batches(dataset, batch_size, canvas: int, max_boxes=100,
                 msks.append(np.zeros_like(msks[-1]))
             if kplist:
                 kplist.append(np.zeros_like(kplist[-1]))
+            if szs:
+                szs.append(szs[-1])
         out = {
-            "images": np.stack(imgs).astype(np.float32),
+            "images": (np.stack(imgs) if device_ingest
+                       else np.stack(imgs).astype(np.float32)),
             "gt_boxes": np.stack(bxs),
             "gt_labels": np.stack(lbs).astype(np.int32),
             "gt_valid": np.stack(vds),
             "image_ids": np.array(ids, np.int64),
             "scale_factors": np.array(scales, np.float32),
         }
+        if device_ingest:
+            out["sizes"] = np.array(szs, np.int32)
         if msks:
             out["gt_masks"] = np.stack(msks)
         if kplist:
@@ -462,6 +517,11 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--small", action="store_true",
                     help="tiny model/backbone for smoke runs")
+    ap.add_argument("--device-ingest", action="store_true",
+                    help="eval ingest on device: host decodes to a "
+                         "uint8 native canvas; resize+normalize+pad "
+                         "run inside the jitted eval program "
+                         "(kernels/preprocess)")
     ap.add_argument("--renderable", action="store_true",
                     help="synthetic images with drawn class-colored "
                          "boxes (learnable signal) instead of noise — "
@@ -588,6 +648,29 @@ def main(argv=None):
                 {**rest, "params": params}, images)
         return adapter.detect({**rest, "params": params}, images)
 
+    ms_eval = (min_size[-1] if isinstance(min_size, (tuple, list))
+               else min_size)
+
+    @jax.jit
+    def eval_step_u8(params, canvas_u8, sizes):
+        """Device-ingest eval: uint8 native canvas -> per-image
+        min/max-size bilinear resize + normalize + zero pad on device
+        (one jitted program with the detector)."""
+        from object_detectors_tpu.kernels.preprocess import (
+            rcnn_resize_normalize_from_canvas,
+        )
+
+        images, _, _ = rcnn_resize_normalize_from_canvas(
+            canvas_u8, sizes, (args.image_size, args.image_size),
+            min_size=ms_eval, max_size=max_size)
+        if eval_masks:
+            return adapter.detect_with_masks({**rest, "params": params},
+                                             images)
+        if eval_kps:
+            return adapter.detect_with_keypoints(
+                {**rest, "params": params}, images)
+        return adapter.detect({**rest, "params": params}, images)
+
     def evaluate(params):
         """engine.evaluate parity: iou types bbox (+segm for Mask R-CNN,
         +keypoints OKS for Keypoint R-CNN — engine._get_iou_types);
@@ -595,8 +678,13 @@ def main(argv=None):
         ev = eval_lib.DetectionEvaluator(gt_val, label_map=lambda c: c)
         for batch in rcnn_batches(
                 val_ds, args.batch_size, args.image_size, args.max_boxes,
-                min_size=min_size, max_size=max_size):
-            out = eval_step(params, jnp.asarray(batch["images"]))
+                min_size=min_size, max_size=max_size,
+                device_ingest=args.device_ingest):
+            if args.device_ingest:
+                out = eval_step_u8(params, jnp.asarray(batch["images"]),
+                                   jnp.asarray(batch["sizes"]))
+            else:
+                out = eval_step(params, jnp.asarray(batch["images"]))
             b, sc, lab, v = out[:4]
             masks = np.asarray(out[4]) if eval_masks else None
             kps = np.asarray(out[4]) if eval_kps else None

@@ -175,6 +175,80 @@ def resize_normalize_from_canvas(canvas: jnp.ndarray, sizes: jnp.ndarray,
     return x.astype(out_dtype)
 
 
+def bilinear_rows(ratio, limit, n_in: int, n_out: int, n_valid):
+    """[n_out, n_in] bilinear sampling matrix with masked valid rows.
+
+    Output row i (for i < n_valid) samples the input at
+    (i + 0.5) * ratio - 0.5 with 2 taps clamped to [0, limit)
+    (edge replication) — torch ``F.interpolate(bilinear,
+    align_corners=False)`` / cv2 INTER_LINEAR center semantics, the
+    GeneralizedRCNNTransform resize (transform.py:150-173). Rows
+    >= n_valid are all-zero (the pad region of a static canvas).
+    ``ratio``/``limit``/``n_valid`` may be traced; shapes are static."""
+    i = jnp.arange(n_out, dtype=jnp.float32)
+    center = (i + 0.5) * ratio - 0.5
+    i0 = jnp.floor(center)
+    t = center - i0
+    ws = jnp.stack([1.0 - t, t], -1)                       # [n_out, 2]
+    taps = jnp.clip(i0[:, None] + jnp.arange(0.0, 2.0)[None, :],
+                    0.0, limit - 1.0)                      # [n_out, 2]
+    m = jnp.arange(n_in, dtype=jnp.float32)
+    rows = jnp.sum(ws[:, :, None] * (taps[:, :, None] == m[None, None, :]),
+                   axis=1)                                 # [n_out, n_in]
+    return jnp.where((i < n_valid)[:, None], rows, 0.0)
+
+
+@partial(jax.jit,
+         static_argnames=("out_hw", "min_size", "max_size", "out_dtype"))
+def rcnn_resize_normalize_from_canvas(canvas: jnp.ndarray,
+                                      sizes: jnp.ndarray, out_hw: tuple,
+                                      min_size: int = 800,
+                                      max_size: int = 1333,
+                                      out_dtype=jnp.float32):
+    """Device-side GeneralizedRCNNTransform ingest: uint8 native-
+    resolution canvas -> per-image aspect-preserving bilinear resize +
+    /255 + ImageNet normalize + zero pad, one jitted program.
+
+    canvas: [B, Hc, Wc, 3] uint8, each image decoded on the host and
+    placed top-left at NATIVE resolution (host keeps only JPEG decode).
+    sizes: [B, 2] (h, w) true sizes. Per image the reference's resize
+    rule (transform.py:150-173: scale = min_size/min side, capped by
+    max_size/max side — here also by the static canvas) picks the
+    target (nh, nw) = round(scale * (h, w)); the resize runs as two
+    batched matmuls against per-image sampling matrices (per-image
+    scale changes matrix VALUES, never shapes — MXU-friendly, no
+    gathers), then normalize, then the region beyond (nh, nw) is
+    zeroed exactly like the pad of ``data/transforms.rcnn_resize``.
+
+    Returns (images [B, ph, pw, 3] out_dtype, new_sizes [B, 2] i32,
+    scales [B] f32). Numerics note: this resizes in f32 where the host
+    path round-trips through cv2's uint8 output — the device path
+    matches the reference (which normalizes f32 then interpolates,
+    transform.py:129-173) MORE closely than our host path does."""
+    b, hc, wc, c = canvas.shape
+    ph, pw = out_hw
+    h = sizes[:, 0].astype(jnp.float32)
+    w = sizes[:, 1].astype(jnp.float32)
+    scale = jnp.minimum(min_size / jnp.minimum(h, w),
+                        max_size / jnp.maximum(h, w))
+    scale = jnp.minimum(scale, jnp.minimum(ph / h, pw / w))
+    nh = jnp.round(h * scale)
+    nw = jnp.round(w * scale)
+    ky = jax.vmap(lambda hh, nn: bilinear_rows(hh / nn, hh, hc, ph, nn))(
+        h, nh)                                             # [B, ph, Hc]
+    kx = jax.vmap(lambda ww, nn: bilinear_rows(ww / nn, ww, wc, pw, nn))(
+        w, nw)                                             # [B, pw, Wc]
+    x = canvas.astype(jnp.float32)
+    x = jnp.einsum("boh,bhwc->bowc", ky, x)
+    x = jnp.einsum("bowc,bpw->bopc", x, kx)
+    x = (x * (1.0 / 255.0) - jnp.asarray(_MEAN)) / jnp.asarray(_STD)
+    valid = ((jnp.arange(ph)[None, :, None] < nh[:, None, None]) &
+             (jnp.arange(pw)[None, None, :] < nw[:, None, None]))
+    x = jnp.where(valid[..., None], x, 0.0)
+    new_sizes = jnp.stack([nh, nw], -1).astype(jnp.int32)
+    return x.astype(out_dtype), new_sizes, scale
+
+
 @partial(jax.jit, static_argnames=("out_hw", "out_dtype", "antialias"))
 def resize_normalize_images(images: jnp.ndarray, out_hw: tuple,
                             out_dtype=jnp.bfloat16,
