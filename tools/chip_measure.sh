@@ -7,6 +7,14 @@ cd /root/repo
 LOG=/tmp/chip_measure.log
 echo "=== chip_measure $(date) ===" >> "$LOG"
 
+# one CPU core: a concurrent heavy job (artifact training) skews
+# kernel timings 2x — wait for it to finish first
+while [ -f /tmp/frcnn_artifact.pid ] && \
+      kill -0 "$(cat /tmp/frcnn_artifact.pid)" 2>/dev/null; do
+  echo "waiting for artifact training (pid $(cat /tmp/frcnn_artifact.pid)) $(date)" >> "$LOG"
+  sleep 120
+done
+
 run() {
   echo "--- $1 ---" >> "$LOG"
   shift
