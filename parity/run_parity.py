@@ -526,10 +526,11 @@ def keypoint_parity():
     keypoints_to_heatmap / heatmaps_to_keypoints
     (`tvision/roi_heads.py:186-328`).
 
-    The training-target encode must match EXACTLY. The decode is a
-    documented approximation: the reference bicubic-resizes each heatmap
-    to its RoI's ceil(w)xceil(h) (data-dependent shapes); ours uses one
-    fixed 4x bicubic grid — reported as worst keypoint distance in px."""
+    The training-target encode must match EXACTLY. Two decodes are
+    measured: the fixed-4x-grid approximation (legacy, distance in px)
+    and heatmaps_to_keypoints_exact — the per-RoI ceil(w)xceil(h)
+    bicubic resize as static-shape matmuls, which the assembled model
+    uses and which must reproduce the reference's argmax cell."""
     sys.path.insert(0, "/root/reference/torchvision_models")
     from tvision import roi_heads as ref_rh
 
@@ -581,6 +582,31 @@ def keypoint_parity():
     res["decode_worst_dist_px"] = float(dist.max())
     res["decode_worst_dist_cells"] = float((dist / cell).max())
     res["decode_median_dist_px"] = float(np.median(dist))
+
+    # EXACT decode (heatmaps_to_keypoints_exact — the one the assembled
+    # model uses, keypoint_rcnn.py:336): the per-RoI data-dependent
+    # bicubic resize as static-shape matmuls must land in the SAME
+    # resized-grid argmax cell as the reference and agree in px to f32
+    # matmul noise.
+    ex_xy, ex_sc = KR.heatmaps_to_keypoints_exact(
+        jnp.asarray(maps.transpose(0, 2, 3, 1))[None],
+        jnp.asarray(rois)[None])
+    ex_xy = np.asarray(ex_xy)[0, :, :, :2]
+    ex_dist = np.linalg.norm(ex_xy - ref_xy.numpy()[:, :, :2], axis=-1)
+    # back out the resized-grid cell index from the reported x/y
+    ww = np.maximum(rois[:, 2] - rois[:, 0], 1)[:, None]
+    hh = np.maximum(rois[:, 3] - rois[:, 1], 1)[:, None]
+    gw, gh = np.ceil(ww), np.ceil(hh)
+    ref_cx = np.floor((ref_xy.numpy()[:, :, 0] - rois[:, 0:1]) / ww * gw)
+    ref_cy = np.floor((ref_xy.numpy()[:, :, 1] - rois[:, 1:2]) / hh * gh)
+    our_cx = np.floor((ex_xy[:, :, 0] - rois[:, 0:1]) / ww * gw)
+    our_cy = np.floor((ex_xy[:, :, 1] - rois[:, 1:2]) / hh * gh)
+    res["exact_decode_argmax_cell_mismatches"] = int(
+        ((ref_cx != our_cx) | (ref_cy != our_cy)).sum())
+    res["exact_decode_worst_dist_px"] = float(ex_dist.max())
+    res["exact_decode_score_rel"] = float(
+        np.abs(np.asarray(ex_sc)[0] - ref_sc.numpy()).max()
+        / max(np.abs(ref_sc.numpy()).max(), 1e-9))
     return res
 
 
