@@ -53,4 +53,13 @@ run "darknet ablate" \
 run "topk primitives" \
   python -m object_detectors_tpu.analysis.topk_bench
 
+# 7. the three weak BASELINE configs (quick reads to iterate against)
+echo "--- bench weak configs ---" >> "$LOG"
+timeout 3500 python bench.py --configs frcnn640 retinanet640 serving \
+  2>&1 | grep -v "WARNING\|cpu_aot" >> "$LOG"
+
+# 8. full bench (all five configs + train step + NMS distributions)
+echo "--- full bench ---" >> "$LOG"
+timeout 5400 python bench.py 2>&1 | grep -v "WARNING\|cpu_aot" >> "$LOG"
+
 echo "=== done $(date) ===" >> "$LOG"
