@@ -7,13 +7,25 @@ cd /root/repo
 LOG=/tmp/chip_measure.log
 echo "=== chip_measure $(date) ===" >> "$LOG"
 
-# one CPU core: a concurrent heavy job (artifact training) skews
-# kernel timings 2x — wait for it to finish first
-while [ -f /tmp/frcnn_artifact.pid ] && \
-      kill -0 "$(cat /tmp/frcnn_artifact.pid)" 2>/dev/null; do
-  echo "waiting for artifact training (pid $(cat /tmp/frcnn_artifact.pid)) $(date)" >> "$LOG"
-  sleep 120
-done
+# one CPU core: a concurrent heavy job (artifact training, pytest)
+# skews kernel timings 2x — wait for all of them to finish first
+wait_heavy() {
+  while true; do
+    busy=""
+    for f in /tmp/frcnn_artifact.pid /tmp/cpu_heavy_*.pid; do
+      [ -f "$f" ] || continue
+      if kill -0 "$(cat "$f")" 2>/dev/null; then
+        busy="$f"
+      else
+        rm -f "$f"
+      fi
+    done
+    [ -z "$busy" ] && break
+    echo "waiting for heavy job $busy (pid $(cat "$busy")) $(date)" >> "$LOG"
+    sleep 120
+  done
+}
+wait_heavy
 
 run() {
   echo "--- $1 ---" >> "$LOG"
