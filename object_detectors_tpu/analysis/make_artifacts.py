@@ -139,7 +139,7 @@ def train_frcnn(epochs: int = 40):
     with open(path, "wb") as f:
         f.write(serialization.to_bytes(payload))
     with open(path + ".json", "w") as f:
-        json.dump({"model": "fasterrcnn_small", "num_classes": 5,
+        json.dump({"model": "fasterrcnn_resnet50_fpn", "num_classes": 5,
                    "image_size": 96, "epochs": epochs}, f, indent=1)
     print(f"saved {path}")
 

@@ -70,7 +70,12 @@ echo "--- bench weak configs ---" >> "$LOG"
 timeout 3500 python bench.py --configs frcnn640 retinanet640 serving \
   2>&1 | grep -v "WARNING\|cpu_aot" >> "$LOG"
 
-# 8. full bench (all five configs + train step + NMS distributions)
+# 8. reference protocol CSV with the trained-YOLO artifact (map > 0)
+echo "--- protocol csv ---" >> "$LOG"
+timeout 2400 python bench.py --protocol \
+  2>&1 | grep -v "WARNING\|cpu_aot" >> "$LOG"
+
+# 9. full bench (all five configs + train step + NMS distributions)
 echo "--- full bench ---" >> "$LOG"
 timeout 5400 python bench.py 2>&1 | grep -v "WARNING\|cpu_aot" >> "$LOG"
 
