@@ -121,13 +121,15 @@ def frcnn_parity(with_mask: bool = False, trained: bool = False):
 
     torch.manual_seed(0)
     ncls = 5 if trained else 91
+    # trained artifact: 4 fg classes at 96 px (make_artifacts.train_frcnn)
+    size = 96 if trained else SIZE
     tfidf = {"values": torch.ones(1, ncls), "num_classes": ncls,
              "mini_batch": False, "tfidf_norm": 0, "loss_function": "ce",
              "classification_weights": None}
     build = maskrcnn_resnet50_fpn if with_mask else fasterrcnn_resnet50_fpn
     ref = build(pretrained=False, pretrained_backbone=False,
                 num_classes=ncls, tfidf=tfidf,
-                min_size=SIZE, max_size=SIZE)
+                min_size=size, max_size=size)
     ref.eval()
     if trained:
         from flax import serialization
@@ -159,7 +161,19 @@ def frcnn_parity(with_mask: bool = False, trained: bool = False):
             {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()})
         ref.eval()
 
-    img = _image()
+    if trained:
+        # a rendered image from the training family (class-colored
+        # rectangles on gray noise) so the trained detector actually
+        # fires — random noise yields 0 detections on both sides,
+        # which agrees but proves nothing
+        from object_detectors_tpu.data import synthetic as SYN
+
+        gt, loader = SYN.renderable_dataset(
+            np.random.RandomState(5), num_images=2, img_size=size,
+            num_classes=ncls - 1)
+        img = (loader(gt["images"][0]).astype(np.float32) / 255.0)
+    else:
+        img = _image()
     x_t = torch.from_numpy(img.transpose(2, 0, 1))
 
     captured = {}
@@ -209,7 +223,7 @@ def frcnn_parity(with_mask: bool = False, trained: bool = False):
     props = captured["proposals"][0].numpy()
     pj = jnp.asarray(props)[None]
     pooled = jax.vmap(lambda fs, bx: multiscale_roi_align_flat(
-        fs, bx, (SIZE, SIZE), (7, 7)))(tuple(feats[:4]), pj)
+        fs, bx, (size, size), (7, 7)))(tuple(feats[:4]), pj)
     hv = {"params": variables["params"]["box_head"]}
     x2 = RH.TwoMLPHead(1024).apply(hv, pooled)
     pv = {"params": variables["params"]["box_predictor"]}
@@ -231,7 +245,7 @@ def frcnn_parity(with_mask: bool = False, trained: bool = False):
         ref_masks = out["masks"].numpy()  # [D, 1, H, W] pasted probs
         my_pasted = np.asarray(MR.paste_masks_in_image(
             jnp.asarray(mine[4][0]), jnp.asarray(mine[0][0]),
-            (SIZE, SIZE)))
+            (size, size)))
         d = 0.0
         for ri, mi in pairs[:20]:
             d = max(d, float(np.mean(np.abs(
