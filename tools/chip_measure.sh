@@ -65,6 +65,10 @@ run "darknet ablate" \
 run "topk primitives" \
   python -m object_detectors_tpu.analysis.topk_bench
 
+# 6b. serving dispatch-budget decomposition (relay vs kernel bound)
+run "serving budget" \
+  python -m object_detectors_tpu.analysis.serving_ablate
+
 # 7. the three weak BASELINE configs (quick reads to iterate against)
 echo "--- bench weak configs ---" >> "$LOG"
 timeout 3500 python bench.py --configs frcnn640 retinanet640 serving \
