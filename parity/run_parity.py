@@ -138,15 +138,20 @@ def frcnn_parity(with_mask: bool = False, trained: bool = False):
 
         art = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "artifacts",
-            "synthetic_frcnn.msgpack")
+            "synthetic_maskrcnn.msgpack" if with_mask
+            else "synthetic_frcnn.msgpack")
         # rebuild the frozen collection from the deterministic seed-0
         # init, then overlay the trained params
         from object_detectors_tpu.models import faster_rcnn as FR0
+        from object_detectors_tpu.models import mask_rcnn as MR0
 
         import jax as _jax
         import jax.numpy as _jnp
 
-        m0 = FR0.FasterRCNN(FR0.FasterRCNNConfig(num_classes=ncls))
+        if with_mask:
+            m0 = MR0.MaskRCNN(MR0.MaskRCNNConfig(num_classes=ncls))
+        else:
+            m0 = FR0.FasterRCNN(FR0.FasterRCNNConfig(num_classes=ncls))
         tmpl = m0.init({"params": _jax.random.key(0),
                         "sampler": _jax.random.key(1)},
                        _jnp.zeros((1, 64, 64, 3)), train=False)
