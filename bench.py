@@ -394,9 +394,12 @@ def run_nms_latency(bs=512, n_cand=256, max_det=100, num_classes=80,
             times.append((time.perf_counter() - t0) / iters)
             del s
         times = np.sort(times)
+        # each sample is a mean over `iters` async dispatches (per-
+        # dispatch tails are unobservable without 28ms host syncs), so
+        # the worst sample is a max-of-means — label it as such, not p99
         results[name] = {
             "p50_us": float(np.median(times)) / bs * 1e6,
-            "p99_us": float(times[-1]) / bs * 1e6,
+            "max_mean_us": float(times[-1]) / bs * 1e6,
         }
     return results
 

@@ -87,23 +87,29 @@ def load_yolo_artifact():
     from flax import serialization
 
     path = os.path.join(ARTIFACTS, "synthetic_yolo.msgpack")
-    if not os.path.exists(path):
+    if not (os.path.exists(path) and os.path.exists(path + ".json")):
         return None, None
-    with open(path + ".json") as f:
-        meta = json.load(f)
-    import jax
-    import jax.numpy as jnp
+    try:
+        with open(path + ".json") as f:
+            meta = json.load(f)
+        import jax
+        import jax.numpy as jnp
 
-    from object_detectors_tpu.models.yolo import YoloHead
+        from object_detectors_tpu.models.yolo import YoloHead
 
-    model = YoloHead(num_classes=meta["num_classes"],
-                     backbone_layers=tuple(meta["backbone_layers"]))
-    x0 = jnp.zeros((1, meta["img_size"], meta["img_size"], 3))
-    template = model.init(jax.random.key(0), x0, train=False)
-    payload = {"params": template["params"],
-               "batch_stats": template.get("batch_stats", {})}
-    with open(path, "rb") as f:
-        restored = serialization.from_bytes(payload, f.read())
+        model = YoloHead(num_classes=meta["num_classes"],
+                         backbone_layers=tuple(meta["backbone_layers"]))
+        x0 = jnp.zeros((1, meta["img_size"], meta["img_size"], 3))
+        template = model.init(jax.random.key(0), x0, train=False)
+        payload = {"params": template["params"],
+                   "batch_stats": template.get("batch_stats", {})}
+        with open(path, "rb") as f:
+            restored = serialization.from_bytes(payload, f.read())
+    except (KeyError, ValueError, OSError) as e:
+        # stale/partial artifact (sidecar-msgpack mismatch): fall back
+        # to the random-weight protocol branch instead of aborting
+        print(f"load_yolo_artifact: stale artifact ignored ({e})")
+        return None, None
     variables = {"params": restored["params"]}
     if restored.get("batch_stats"):
         variables["batch_stats"] = restored["batch_stats"]

@@ -153,6 +153,7 @@ def rcnn_batches(dataset, batch_size, canvas: int, max_boxes=100,
                 # canvas; scale computed with the formula the device
                 # kernel replays so GT/scale_factors agree exactly
                 h0, w0 = image.shape[:2]
+                hr_x = hr_y = 1.0  # host pre-downscale factors
                 if h0 > native_canvas or w0 > native_canvas:
                     from PIL import Image
 
@@ -161,8 +162,15 @@ def rcnn_batches(dataset, batch_size, canvas: int, max_boxes=100,
                     image = np.asarray(Image.fromarray(
                         image.astype(np.uint8)).resize(
                             (nw0, nh0), Image.BILINEAR))
+                    # per-axis: int() truncation makes nh0/h0 != nw0/w0
+                    hr_y, hr_x = nh0 / h0, nw0 / w0
                     if boxes.size:
-                        boxes = boxes * min(nh0 / h0, nw0 / w0)
+                        boxes = boxes * np.array(
+                            [hr_x, hr_y, hr_x, hr_y], np.float32)
+                    if kps is not None and len(kps):
+                        kps = np.asarray(kps, np.float32).copy()
+                        kps[..., 0] *= hr_x
+                        kps[..., 1] *= hr_y
                     h0, w0 = nh0, nw0
                 scale = min(
                     T.min_max_resize_factor(h0, w0, ms, max_size),
@@ -174,6 +182,9 @@ def rcnn_batches(dataset, batch_size, canvas: int, max_boxes=100,
                           else np.zeros((0, 4), np.float32))
                 true_size = (h0, w0)
                 szs.append((h0, w0))
+                # detections live in (host downscale x device resize)
+                # coords; invert BOTH to map back to original pixels
+                inv_sx, inv_sy = 1.0 / (scale * hr_x), 1.0 / (scale * hr_y)
             else:
                 padded, sboxes, true_size, scale = T.rcnn_resize(
                     image, boxes, min_size=ms, max_size=max_size,
@@ -185,6 +196,7 @@ def rcnn_batches(dataset, batch_size, canvas: int, max_boxes=100,
                 img = T.normalize_image(padded)
                 img[true_size[0]:] = 0.0
                 img[:, true_size[1]:] = 0.0
+                inv_sx = inv_sy = 1.0 / scale
             b, l, v = T.pad_targets(sboxes, labels, max_boxes)
             if kps is not None:
                 kp = np.asarray(kps, np.float32).copy()
@@ -210,7 +222,7 @@ def rcnn_batches(dataset, batch_size, canvas: int, max_boxes=100,
             lbs.append(l)
             vds.append(v)
             ids.append(tgt["image_id"])
-            scales.append((1.0 / scale, 1.0 / scale))
+            scales.append((inv_sx, inv_sy))
         while len(imgs) < batch_size:
             imgs.append(imgs[-1])
             bxs.append(bxs[-1])

@@ -227,6 +227,7 @@ class KeypointRCNNConfig:
     keypoint_pool_size: tuple = (14, 14)
     kp_head_layers: int = 8
     kp_head_features: int = 512
+    backbone_fused: str = "off"  # fused eval bottlenecks (resnet.py)
 
 
 class KeypointRCNN(nn.Module):
@@ -240,7 +241,7 @@ class KeypointRCNN(nn.Module):
     def setup(self):
         self.backbone = BackboneWithFPN(
             ResNet(self.cfg.resnet_layers, "bottleneck", "frozen",
-                   self.dtype, fused=getattr(self.cfg, 'backbone_fused', 'off')),
+                   self.dtype, fused=self.cfg.backbone_fused),
             out_channels=256, extra_blocks="pool",
             returned_layers=(1, 2, 3, 4), name="backbone")
         self.rpn_head = RPN.RPNHead(num_anchors=3, dtype=self.dtype,

@@ -185,6 +185,7 @@ class MaskRCNNConfig:
     roi: RH.RoIHeadsConfig = RH.RoIHeadsConfig(detections_per_img=300)
     resnet_layers: tuple = (3, 4, 6, 3)
     mask_pool_size: tuple = (14, 14)
+    backbone_fused: str = "off"  # fused eval bottlenecks (resnet.py)
 
 
 class MaskRCNN(nn.Module):
@@ -196,7 +197,7 @@ class MaskRCNN(nn.Module):
     def setup(self):
         self.backbone = BackboneWithFPN(
             ResNet(self.cfg.resnet_layers, "bottleneck", "frozen",
-                   self.dtype, fused=getattr(self.cfg, 'backbone_fused', 'off')),
+                   self.dtype, fused=self.cfg.backbone_fused),
             out_channels=256, extra_blocks="pool",
             returned_layers=(1, 2, 3, 4), name="backbone")
         self.rpn_head = RPN.RPNHead(num_anchors=3, dtype=self.dtype,

@@ -408,7 +408,7 @@ def pool_multiscale(features, boxes, image_size, output_size=(7, 7),
     if method == "auto":
         platform = _jax.devices()[0].platform
         method = "pallas" if platform == "tpu" else "canvas"
-    if method.startswith(("pallas", "pallas_tiled")):
+    if method.startswith("pallas"):
         interpret = method.endswith("_interpret")  # CPU parity tests
         return _pool_pallas(tuple(features), boxes, image_size,
                             tuple(output_size), sampling_ratio, interpret,

@@ -260,7 +260,8 @@ def main(argv=None):
     ap.add_argument("--max-trials", type=int, default=None)
     ap.add_argument("--space", default="opt1")
     ap.add_argument("--out", default="sweep_results.csv")
-    ap.add_argument("--proposer", default="gp", choices=["gp", "sobol"])
+    ap.add_argument("--proposer", default="gp",
+                    choices=["gp", "sobol", "perturb"])
     args = ap.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     best_params, best_score, _ = run_sweep(
