@@ -199,6 +199,35 @@ def test_rcnn_device_ingest_matches_host_path(ds_rect):
         assert np.all(out[i, :, nw:] == 0.0)
 
 
+def test_rcnn_device_ingest_host_downscale_roundtrip(ds_rect):
+    """An explicit small native_canvas forces the host pre-downscale;
+    gt_boxes * scale_factors must still land back on the ORIGINAL
+    pixel coordinates (review fix: the downscale factor was dropped
+    from scale_factors, mapping detections to downscaled coords)."""
+    batch = next(iter(rcnn_batches(ds_rect, 4, canvas=96, max_boxes=8,
+                                   min_size=48, max_size=96,
+                                   device_ingest=True,
+                                   native_canvas=64)))
+    assert batch["images"].shape[1] == 64  # downscale actually engaged
+    by_id = {}
+    for i in range(len(ds_rect)):
+        _, tgt = ds_rect[i]
+        by_id[tgt["image_id"]] = tgt
+    for b in range(4):
+        img_id = batch["image_ids"][b]
+        if img_id < 0:
+            continue
+        tgt = by_id[img_id]
+        xywh = tgt["boxes_xywh"]
+        orig = np.stack([xywh[:, 0], xywh[:, 1],
+                         xywh[:, 0] + xywh[:, 2],
+                         xywh[:, 1] + xywh[:, 3]], -1)
+        n = len(orig)
+        sx, sy = batch["scale_factors"][b]
+        back = batch["gt_boxes"][b, :n] * np.array([sx, sy, sx, sy])
+        np.testing.assert_allclose(back, orig, rtol=1e-4, atol=1e-2)
+
+
 def test_rcnn_device_ingest_e2e_detect(ds_rect):
     """Full small-FRCNN eval through the device-ingest program runs and
     yields the same detection count contract as the host path."""
