@@ -181,19 +181,54 @@ def train_maskrcnn(epochs: int = 24):
     print(f"saved {path}")
 
 
+def train_keypointrcnn(epochs: int = 24):
+    """Keypoint R-CNN on the synthetic person-only set (coco_kp
+    analogue: make_coco_dicts with_keypoints). Artifact for trained
+    keypoint-branch parity."""
+    import jax
+
+    from object_detectors_tpu import detection_main as DM
+    from flax import serialization
+
+    out = os.path.join(ROOT, "output", "artifact_kprcnn")
+    ts = DM.main([
+        "--dataset", "synthetic", "--model", "keypointrcnn_resnet50_fpn",
+        "--renderable", "--epochs", str(epochs),
+        "--batch-size", "4", "--image-size", "96", "--lr", "2e-3",
+        "--lr-steps", str(int(epochs * 0.7)), str(int(epochs * 0.85)),
+        "--output-dir", out, "--seed", "0",
+    ])
+    if ts is None:
+        raise RuntimeError("keypointrcnn artifact training aborted (NaN)")
+    os.makedirs(ARTIFACTS, exist_ok=True)
+    payload = {"params": jax.device_get(ts["params"])}
+    path = os.path.join(ARTIFACTS, "synthetic_kprcnn.msgpack")
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(payload))
+    with open(path + ".json", "w") as f:
+        json.dump({"model": "keypointrcnn_resnet50_fpn",
+                   "num_classes": 2, "image_size": 96,
+                   "epochs": epochs}, f, indent=1)
+    print(f"saved {path}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--yolo", action="store_true")
     ap.add_argument("--frcnn", action="store_true")
     ap.add_argument("--maskrcnn", action="store_true")
+    ap.add_argument("--kprcnn", action="store_true")
     ap.add_argument("--epochs", type=int, default=None)
     args = ap.parse_args()
-    if args.yolo or not (args.yolo or args.frcnn or args.maskrcnn):
+    explicit = args.yolo or args.frcnn or args.maskrcnn or args.kprcnn
+    if args.yolo or not explicit:
         train_yolo(args.epochs)
     if args.frcnn:
         train_frcnn(args.epochs or 40)
     if args.maskrcnn:
         train_maskrcnn(args.epochs or 24)
+    if args.kprcnn:
+        train_keypointrcnn(args.epochs or 24)
 
 
 if __name__ == "__main__":
