@@ -6,7 +6,6 @@
 # chip run waits for it.
 set -u
 cd /root/repo
-echo $$ > /tmp/cpu_heavy_artifacts.pid
 LOG=/tmp/artifacts_train.log
 echo "=== train_more_artifacts $(date) ===" >> "$LOG"
 
@@ -14,6 +13,10 @@ while [ -f /tmp/chip_measure.pid ] && \
       kill -0 "$(cat /tmp/chip_measure.pid)" 2>/dev/null; do
   sleep 120
 done
+
+# register only once actually CPU-heavy — registering before the wait
+# deadlocks against the chip queue's wait_heavy (mutual wait)
+echo $$ > /tmp/cpu_heavy_artifacts.pid
 
 # sitecustomize pins the axon TPU platform and ignores JAX_PLATFORMS;
 # jax.config.update is the only reliable CPU pin (see
