@@ -32,9 +32,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _block_kernel(xp_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
                   b3_ref, wd_ref, bd_ref, out_ref, in_buf, sems,
-                  *, tr, h, w, cin, cm, cout, has_down, n_tiles):
-    """Grid = (B * n_tiles). xp [B, H+2, W+2, Cin] bf16 in ANY; params
-    in VMEM. in_buf: 2-slot [(TR+2), W+2, Cin] tile scratch."""
+                  *, tr, h, w, wp, cin, cm, cout, has_down, n_tiles):
+    """Grid = (B * n_tiles). xp [B, H+2, WP, Cin] bf16 in ANY; params
+    in VMEM. in_buf: 2-slot [(TR+2), WP, Cin] tile scratch. WP is W+2
+    rounded up to a multiple of 8 — Mosaic requires the second-minor
+    dim of an HBM DMA slice to be 8-aligned (the ring mask keeps the
+    extra columns at zero, so compute is unaffected)."""
     step = pl.program_id(0)
     b = step // n_tiles
     t = step - b * n_tiles
@@ -58,17 +61,17 @@ def _block_kernel(xp_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
 
     copy(step, b, t, slot).wait()
 
-    x = in_buf[slot]                       # [(TR+2), W+2, Cin] bf16
-    xf = x.reshape((tr + 2) * (w + 2), cin)
+    x = in_buf[slot]                       # [(TR+2), WP, Cin] bf16
+    xf = x.reshape((tr + 2) * wp, cin)
 
     # stage 1: 1x1 + bn + relu over the FULL halo'd tile (the 3x3 needs
     # t1's halo); zero the padding ring afterwards (conv2 zero-pads t1,
     # not relu(b1)).
     t1 = jnp.dot(xf, w1_ref[...],
                  preferred_element_type=jnp.float32) + b1_ref[...]
-    t1 = jnp.maximum(t1, 0.0).reshape(tr + 2, w + 2, cm)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (tr + 2, w + 2, 1), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (tr + 2, w + 2, 1), 1)
+    t1 = jnp.maximum(t1, 0.0).reshape(tr + 2, wp, cm)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tr + 2, wp, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tr + 2, wp, 1), 1)
     # tile rows map to image rows [t*tr - 1, t*tr + tr]; valid image
     # rows are [0, h) -> zero where the global row is outside.
     grow = rows + t * tr - 1
@@ -128,7 +131,11 @@ def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, wd=None, bd=None,
         wd = jnp.zeros((cin, cout), x.dtype)
         bd = jnp.zeros((cout,), jnp.float32)
 
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # Mosaic: the second-minor dim of an HBM DMA slice must be a
+    # multiple of 8 — round the halo'd width up (ring-masked to zero
+    # in the kernel, so exactness is unaffected).
+    wp = -(-(w + 2) // 8) * 8
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1 + wp - (w + 2)), (0, 0)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -148,12 +155,12 @@ def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, wd=None, bd=None,
             (1, tr, w, cout),
             lambda i, nt=n_tiles: (i // nt, i % nt, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, tr + 2, w + 2, cin), x.dtype),
+            pltpu.VMEM((2, tr + 2, wp, cin), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = partial(_block_kernel, tr=tr, h=h, w=w, cin=cin, cm=cm,
-                     cout=cout, has_down=has_down, n_tiles=n_tiles)
+    kernel = partial(_block_kernel, tr=tr, h=h, w=w, wp=wp, cin=cin,
+                     cm=cm, cout=cout, has_down=has_down, n_tiles=n_tiles)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((bsz, h, w, cout), x.dtype),
