@@ -35,6 +35,8 @@ from object_detectors_tpu.models.common import FrozenBatchNorm  # noqa: E402
 class Stem(nn.Module):
     dtype: any = jnp.bfloat16
     direct: bool = False  # direct 7x7/s2 conv instead of s2d
+    # cut: conv | bnrelu | pool_rw (reduce_window) | pool (phase decomp)
+    cut: str = "pool"
 
     @nn.compact
     def __call__(self, x):
@@ -46,10 +48,17 @@ class Stem(nn.Module):
         else:
             from object_detectors_tpu.models.resnet import SpaceToDepthStem
             x = SpaceToDepthStem(dtype=self.dtype, name="conv1")(x)
+        if self.cut == "conv":
+            return x
         x = FrozenBatchNorm(64, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
-        return nn.max_pool(x, (3, 3), strides=(2, 2),
-                           padding=((1, 1), (1, 1)))
+        if self.cut == "bnrelu":
+            return x
+        if self.cut == "pool_rw":
+            return nn.max_pool(x, (3, 3), strides=(2, 2),
+                               padding=((1, 1), (1, 1)))
+        from object_detectors_tpu.models.common import max_pool_3x3_s2
+        return max_pool_3x3_s2(x)
 
 
 class Prefix(nn.Module):
@@ -96,6 +105,9 @@ def main():
     ap.add_argument("--f32", action="store_true")
     ap.add_argument("--fused", action="store_true",
                     help="fused Pallas bottleneck blocks (eval)")
+    ap.add_argument("--stem-detail", action="store_true",
+                    help="stem sub-stages: conv / +bnrelu / +pool "
+                         "(reduce_window vs phase-decomposed)")
     args = ap.parse_args()
     dtype = jnp.float32 if args.f32 else jnp.bfloat16
 
@@ -105,6 +117,13 @@ def main():
         dtype)
 
     stages = {}
+    if args.stem_detail:
+        for cut in ("conv", "bnrelu", "pool_rw", "pool"):
+            st = Stem(dtype=dtype, cut=cut)
+            vv = st.init(jax.random.key(0), images[:1])
+            stages[f"stem:{cut}"] = (
+                lambda im, st=st, vv=vv: jnp.sum(
+                    st.apply(vv, im).astype(jnp.float32)))
     stem = Stem(dtype=dtype)
     sv = stem.init(jax.random.key(0), images[:1])
     stages["stem"] = lambda im: jnp.sum(

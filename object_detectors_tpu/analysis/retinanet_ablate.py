@@ -64,8 +64,7 @@ def build_stages(size, dtype, num_classes=91):
         cls, reg, level_sizes = model.apply(variables, images,
                                             train=False)
         out = RN.retinanet_postprocess(
-            cls.astype(jnp.float32), reg.astype(jnp.float32), anchors,
-            tuple(level_sizes), (size, size), cfg)
+            cls, reg, anchors, tuple(level_sizes), (size, size), cfg)
         return jnp.sum(out[0]) + jnp.sum(out[1])
 
     return {"backbone": backbone_only, "head": plus_head, "full": full}

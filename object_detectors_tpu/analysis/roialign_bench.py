@@ -109,6 +109,20 @@ def main():
         return jnp.sum(multiscale_roi_align_hybrid(fs, bx, img, (7, 7),
                                                    mode="tiled"))
 
+    from object_detectors_tpu.kernels.roi_align_pallas import (
+        multiscale_roi_align_bands,
+    )
+
+    def bands_fn(debug="full"):
+        def f(fs, bx):
+            return jnp.sum(multiscale_roi_align_bands(
+                fs, bx, img, (7, 7), debug=debug))
+        return f
+
+    def hybrid_bands(fs, bx):
+        return jnp.sum(multiscale_roi_align_hybrid(fs, bx, img, (7, 7),
+                                                   mode="bands"))
+
     variants = {
         "noop": noop,
         "flat": run_variant(R.multiscale_roi_align_flat),
@@ -122,6 +136,9 @@ def main():
         "tiled_mm2": tiled_fn("mm2"),
         "tiled_dma": tiled_fn(debug="dma_only"),
         "hybrid_tiled": hybrid_tiled,
+        "bands": bands_fn(),
+        "bands_dma": bands_fn(debug="dma_only"),
+        "hybrid_bands": hybrid_bands,
     }
     for name, fn in variants.items():
         if args.variants and name not in args.variants:

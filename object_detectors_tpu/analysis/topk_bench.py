@@ -32,6 +32,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp  # noqa: E402
 
 from object_detectors_tpu.ops import nms as N  # noqa: E402
+from object_detectors_tpu.ops import selection as SEL  # noqa: E402
 
 
 def time_fn(fn, *args, warmup=2, iters=20):
@@ -81,10 +82,20 @@ def main():
             s, k, recall_target=1.0))(x)
         return jnp.sum(v) + jnp.sum(i)
 
+    def radix(x):
+        v, i = jax.vmap(lambda s: SEL.radix_topk(s, k))(x)
+        return jnp.sum(v) + jnp.sum(i)
+
+    def radix_bf16(x):
+        v, i = jax.vmap(lambda s: SEL.radix_topk(s, k))(
+            x.astype(jnp.bfloat16))
+        return jnp.sum(v.astype(jnp.float32)) + jnp.sum(i)
+
     for name, x in shapes.items():
         print(f"-- {name} (bs{args.bs}, k={k})")
         for vname, fn in (("topk", topk), ("blocked", blocked),
-                          ("sortsel", sortsel), ("approx1", approx1)):
+                          ("sortsel", sortsel), ("approx1", approx1),
+                          ("radix", radix), ("radix_bf16", radix_bf16)):
             try:
                 dt = time_fn(fn, x)
                 print(f"  {vname:8s} {dt*1e3:8.2f} ms")

@@ -410,9 +410,10 @@ class ModelAdapter:
             cls, reg, level_sizes = self.model.apply(
                 variables, images, train=False)
             anchors = self._anchors_for()
+            # native-dtype logits: selection is exact on bf16, only
+            # survivors are cast (retinanet_postprocess docstring)
             b, sc, lab, v = RN.retinanet_postprocess(
-                cls.astype(jnp.float32), reg.astype(jnp.float32),
-                anchors, tuple(level_sizes), (s, s), self.cfg,
+                cls, reg, anchors, tuple(level_sizes), (s, s), self.cfg,
                 tfidf_post=self.tfidf)
             return b, sc, lab + 1, v  # back to 1-based for the evaluator
         cls, reg, level_sizes = self.model.apply(variables, images,

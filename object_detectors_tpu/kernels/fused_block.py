@@ -135,6 +135,22 @@ def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, wd=None, bd=None,
     # multiple of 8 — round the halo'd width up (ring-masked to zero
     # in the kernel, so exactness is unaffected).
     wp = -(-(w + 2) // 8) * 8
+    # ... and the minor (lane) dim must be a multiple of 128: pad the
+    # input channels and the matching w1/wd rows with zeros (exact —
+    # zero inputs times anything contribute nothing). In ResNet-50 only
+    # layer1 block0 (cin=64, has a projection) hits this; un-projected
+    # identity blocks with unaligned channels (tiny test configs) get a
+    # synthesized exact 0/1 identity projection instead.
+    cpad = -cin % 128
+    if cpad:
+        if not has_down:
+            wd = jnp.eye(cin, cout, dtype=x.dtype)
+            bd = jnp.zeros((cout,), jnp.float32)
+            has_down = True
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cpad)))
+        w1 = jnp.pad(w1, ((0, cpad), (0, 0)))
+        wd = jnp.pad(wd, ((0, cpad), (0, 0)))
+        cin += cpad
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1 + wp - (w + 2)), (0, 0)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -651,6 +651,231 @@ def multiscale_roi_align_tiled(
     return out[inv].reshape(bsz, n, oh, ow, c)
 
 
+BAND_R = 64   # band rows; assignment stride 32 (16 for the tall tier)
+              # guarantees every tier window (<= 48 rows) fits its band
+
+
+def _band_kernel(tdesc_ref, geom_ref, canvas_ref, out_ref, band_buf,
+                 sems, *, c, oh, ow, srat, band_w, debug="full"):
+    """One grid step = one RoI, SORTED by full-width canvas row band.
+
+    The tiled kernel amortizes window DMA across the RoIs of a 64x80
+    tile but still re-reads a tile per COLUMN stripe — measured
+    dma_only floor 6.17 ms for 8k RoIs at 640² (~17x the unique canvas
+    bytes). A band is the full canvas width, so each canvas row range
+    is DMA'd once per ~32-row stride (<= 2x the unique canvas), and
+    every RoI samples a dynamic 8-aligned COLUMN SLICE of the resident
+    band — per-RoI compute stays window-sized, identical math to the
+    window kernel.
+
+    tdesc [N*7] i32 SMEM: (band_row, wcol_8aligned, tier, slot, first,
+    start_next, next_band_row). geom [N*8] f32 SMEM: (y1, x1, bin_h,
+    bin_w, H_l, W_l, band_row_base_level, wcol_level)."""
+    i = pl.program_id(0)
+    trow = tdesc_ref[7 * i]
+    wcol = pl.multiple_of(tdesc_ref[7 * i + 1], 8)
+    tier = tdesc_ref[7 * i + 2]
+    slot = tdesc_ref[7 * i + 3]
+    first = tdesc_ref[7 * i + 4] > 0
+    startn = tdesc_ref[7 * i + 5] > 0
+    nrow = tdesc_ref[7 * i + 6]
+
+    def copy(r, s_):
+        return pltpu.make_async_copy(
+            canvas_ref.at[pl.ds(r, BAND_R), pl.ds(0, band_w), :],
+            band_buf.at[s_], sems.at[s_])
+
+    if debug != "compute_only":
+        @pl.when(first & (i == 0))
+        def _():
+            copy(trow, slot).start()
+
+        @pl.when(first)
+        def _():
+            copy(trow, slot).wait()
+
+        @pl.when(startn)
+        def _():
+            copy(nrow, 1 - slot).start()
+
+    if debug == "dma_only":
+        out_ref[...] = jnp.zeros((1, oh, ow, c), out_ref.dtype)
+        return
+
+    y1 = geom_ref[8 * i]
+    x1 = geom_ref[8 * i + 1]
+    bin_h = geom_ref[8 * i + 2]
+    bin_w = geom_ref[8 * i + 3]
+    hl = geom_ref[8 * i + 4]
+    wl = geom_ref[8 * i + 5]
+    rbase = geom_ref[8 * i + 6]
+    cbase = geom_ref[8 * i + 7]
+
+    # column width groups (dedup over tiers): big/tall 40, mid 32,
+    # small 24, wide 56 — compute branches per group, everything else
+    # is shared. Sample rows clip to the band (always fresh, full
+    # width); sample cols clip to the window slice exactly like the
+    # window kernel (outside-image weights are zero).
+    groups = {}
+    for t, (_, tw) in enumerate(TIERS):
+        groups.setdefault(tw, []).append(t)
+
+    def rel_row(k):
+        a_abs, b_abs, wa, wb = _axis_sample(k, y1, bin_h, hl, srat)
+        ya = jnp.clip(a_abs - rbase, 0.0,
+                      float(BAND_R - 1)).astype(jnp.int32)
+        yb = jnp.clip(b_abs - rbase, 0.0,
+                      float(BAND_R - 1)).astype(jnp.int32)
+        return ya, yb, wa, wb
+
+    taps = [[rel_row(irow * srat + r) for r in range(srat)]
+            for irow in range(oh)]
+
+    for tw, tiers in groups.items():
+        pred = tier == tiers[0]
+        for t in tiers[1:]:
+            pred = pred | (tier == t)
+
+        @pl.when(pred)
+        def _(tw=tw):
+            inv = 1.0 / (srat * srat)
+            xs = jax.lax.broadcasted_iota(
+                jnp.int32, (ow, tw), 1).astype(jnp.float32)
+            js = jax.lax.broadcasted_iota(
+                jnp.int32, (ow, tw), 0).astype(jnp.float32)
+            wx = jnp.zeros((ow, tw), jnp.float32)
+            for r in range(srat):
+                frac = (r + 0.5) / srat
+                pos = x1 + (js + frac) * bin_w
+                inside = jnp.where((pos >= -1.0) & (pos <= wl), 1.0, 0.0)
+                p = jnp.clip(pos, 0.0, wl - 1.0)
+                a_abs = jnp.floor(p)
+                fr = p - a_abs
+                b_abs = jnp.minimum(a_abs + 1.0, wl - 1.0)
+                a_rel = jnp.clip(a_abs - cbase, 0.0, float(tw - 1))
+                b_rel = jnp.clip(b_abs - cbase, 0.0, float(tw - 1))
+                wx = (wx + (1.0 - fr) * inside * (xs == a_rel)
+                      + fr * inside * (xs == b_rel))
+            wx = wx * inv
+            for irow in range(oh):
+                rows = jnp.zeros((tw, c), jnp.float32)
+                for ya, yb, wa, wb in taps[irow]:
+                    rows = (rows
+                            + band_buf[slot, ya, pl.ds(wcol, tw)]
+                            .astype(jnp.float32) * wa
+                            + band_buf[slot, yb, pl.ds(wcol, tw)]
+                            .astype(jnp.float32) * wb)
+                out_ref[0, irow] = jnp.dot(
+                    wx, rows, preferred_element_type=jnp.float32
+                ).astype(out_ref.dtype)
+
+
+def _prep_bands(features, boxes, image_size, oh, ow, s):
+    """Band descriptors on top of :func:`_prep`: each RoI's window goes
+    to the full-width 64-row band at stride 32 (16 for the tall tier,
+    whose 48-row windows need the finer grid), RoIs sort by band, and
+    the first RoI of a band DMAs it (prefetching the next band)."""
+    prep = _prep(features, boxes, image_size, oh, ow, s)
+    canvas, wins, geom, ovr = prep
+    n = ovr.shape[0]
+    wins2 = wins.reshape(n, 3)
+    geom2 = geom.reshape(n, 8)
+    crow = wins2[:, 0]
+    wcol = wins2[:, 1]
+    tier = wins2[:, 2]
+
+    pad_w = -canvas.shape[1] % 8
+    canvas = jnp.pad(canvas, ((0, BAND_R - BUF_ROWS), (0, pad_w),
+                              (0, 0)))
+    rtot = canvas.shape[0]
+
+    # overflow RoIs pool garbage from band 0 and are replaced by the
+    # exact fix-up — park them at row 0 so they don't mint bands.
+    crow0 = jnp.where(ovr, 0, crow)
+    sr = jnp.where(tier == 3, 16, 32)
+    trow = jnp.minimum(crow0 // sr * sr, rtot - BAND_R)
+
+    perm = jnp.argsort(trow)
+    inv = jnp.argsort(perm)
+    ks = trow[perm]
+    trs = ks
+    first = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
+    dix = jnp.cumsum(first.astype(jnp.int32)) - 1
+    slot = dix % 2
+    fp = jnp.zeros((n,), jnp.int32).at[
+        jnp.where(first, dix, n)].set(jnp.arange(n, dtype=jnp.int32),
+                                      mode="drop")
+    has_next = dix < dix[-1]
+    npos = fp[jnp.clip(dix + 1, 0, n - 1)]
+    tdesc = jnp.stack([
+        trs, wcol[perm], tier[perm], slot, first.astype(jnp.int32),
+        (first & has_next).astype(jnp.int32), trs[npos],
+    ], axis=-1).astype(jnp.int32).reshape(-1)
+
+    gs = geom2[perm]
+    level_off = (crow[perm].astype(jnp.float32) - gs[:, 6])
+    geom_t = jnp.concatenate([
+        gs[:, :6],
+        (trs.astype(jnp.float32) - level_off)[:, None],
+        gs[:, 7:8],                      # wcol in level coords
+    ], axis=-1).reshape(-1)
+    return canvas, tdesc, geom_t, inv, ovr
+
+
+@partial(jax.jit, static_argnames=("output_size", "sampling_ratio",
+                                   "image_size", "interpret", "debug"))
+def multiscale_roi_align_bands(
+    features: Sequence[jnp.ndarray],   # per level [B, H_l, W_l, C]
+    boxes: jnp.ndarray,                # [B, N, 4] xyxy image coords
+    image_size: tuple,
+    output_size: tuple = (7, 7),
+    sampling_ratio: int = 2,
+    interpret: bool = False,
+    prep=None,
+    debug: str = "full",
+) -> jnp.ndarray:
+    """Band-sorted pooler: -> [B, N, oh, ow, C]. Same coverage as the
+    tiled pooler (overflow RoIs need the hybrid fix-up)."""
+    bsz, n = boxes.shape[:2]
+    c = features[0].shape[-1]
+    oh, ow = output_size
+    if prep is None:
+        prep = _prep_bands(features, boxes, image_size, oh, ow,
+                           sampling_ratio)
+    canvas, tdesc, geom_t, inv, _ = prep
+    band_w = canvas.shape[1]
+    n_rois = bsz * n
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_rois,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((1, oh, ow, c), lambda i, *_: (i, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, BAND_R, band_w, c), canvas.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = partial(_band_kernel, c=c, oh=oh, ow=ow,
+                     srat=sampling_ratio, band_w=band_w, debug=debug)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_rois, oh, ow, c),
+                                       canvas.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tdesc, geom_t, canvas)
+    return out[inv].reshape(bsz, n, oh, ow, c)
+
+
+def bands_fit_vmem(features, budget_bytes=14 * 2**20):
+    """True when the double-buffered full-width band fits VMEM (wide
+    canvases — e.g. 1333-px R-CNN inputs — fall back to tiles)."""
+    w = max(max(f.shape[2] for f in features), BUF_COLS)
+    w += -w % 8
+    c = features[0].shape[-1]
+    return 2 * BAND_R * w * c * features[0].dtype.itemsize <= budget_bytes
+
+
 @partial(jax.jit, static_argnames=("output_size", "sampling_ratio",
                                    "image_size", "interpret",
                                    "fixup_capacity", "mode"))
@@ -671,7 +896,14 @@ def multiscale_roi_align_hybrid(
     bsz, n = boxes.shape[:2]
     oh, ow = output_size
     s = sampling_ratio
-    if mode == "tiled":
+    if mode == "bands" and not bands_fit_vmem(features):
+        mode = "tiled"  # wide canvas: band buffers would blow VMEM
+    if mode == "bands":
+        prep = _prep_bands(features, boxes, image_size, oh, ow, s)
+        out = multiscale_roi_align_bands(
+            features, boxes, image_size, output_size, s,
+            interpret=interpret, prep=prep)
+    elif mode == "tiled":
         prep = _prep_tiled(features, boxes, image_size, oh, ow, s)
         out = multiscale_roi_align_tiled(
             features, boxes, image_size, output_size, s,

@@ -301,7 +301,9 @@ def test_one_epoch(state, cfg, loss_cfg, dataset, gt, mesh,
         score = dec[..., 4] * jnp.max(dec[..., 5:], -1)
         cls = jnp.argmax(dec[..., 5:], -1)
         k = min(max_candidates, dec.shape[1])
-        topv, topi = jax.vmap(lambda s: nms_lib.exact_blocked_topk(s, k))(score)
+        from object_detectors_tpu.ops import selection as sel_lib
+
+        topv, topi = jax.vmap(lambda s: sel_lib.radix_topk(s, k))(score)
         xy, wh = dec[..., :2], dec[..., 2:4]
         xyxy = jnp.concatenate([xy - wh / 2, xy + wh / 2], -1)
         boxes = jnp.take_along_axis(xyxy, topi[..., None], 1)

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Any, Callable, Sequence
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -69,6 +70,35 @@ def max_pool_same(x, window: int, stride: int = 1):
         strides=(stride, stride),
         padding=((pad, pad), (pad, pad)),
     )
+
+
+def max_pool_3x3_s2(x):
+    """3x3/stride-2/pad-1 max pool (the ResNet stem pool,
+    utilities/resnet.py:148) via EXACT phase decomposition.
+
+    XLA's reduce_window lowering re-reads every overlapping window; on
+    v5e the stem pool was most of a 5.6 ms stem stage at bs16/640².
+    With row phases e[p] = x[2p], o[p] = x[2p+1] the window
+    {2p-1, 2p, 2p+1} is max(o[p-1], e[p], o[p]) — one paired
+    reshape-max plus one shifted max per axis, all dense reshapes and
+    elementwise maxima (no windows). Identical to nn.max_pool incl. the
+    -inf boundary (o[-1] doesn't exist -> the p=0 window only sees two
+    taps). Falls back to nn.max_pool for odd H or W."""
+    b, h, w, c = x.shape
+    if h % 2 or w % 2:
+        return max_pool_same(x, 3, 2)
+
+    def pool_axis(t, axis):
+        n = t.shape[axis]
+        pair = t.reshape(t.shape[:axis] + (n // 2, 2) + t.shape[axis + 1:])
+        m = jnp.max(pair, axis=axis + 1)          # max(e[p], o[p])
+        o = jax.lax.index_in_dim(pair, 1, axis + 1, keepdims=False)
+        pad_cfg = [(0, 0, 0)] * o.ndim
+        pad_cfg[axis] = (1, -1, 0)                # shift: o[p-1], drop o[-1]
+        oprev = jax.lax.pad(o, jnp.asarray(-jnp.inf, o.dtype), pad_cfg)
+        return jnp.maximum(m, oprev)
+
+    return pool_axis(pool_axis(x, 1), 2)
 
 
 def upsample_nearest_2x(x):

@@ -22,7 +22,9 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from object_detectors_tpu.models.common import FrozenBatchNorm
+from object_detectors_tpu.models.common import (
+    FrozenBatchNorm, max_pool_3x3_s2,
+)
 from object_detectors_tpu.models.fpn import FeaturePyramidNetwork
 
 
@@ -234,7 +236,9 @@ class ResNet(nn.Module):
         x = SpaceToDepthStem(dtype=self.dtype, name="conv1")(x)
         x = _norm(64, self.norm, self.dtype, "bn1")(x)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        # phase-decomposed 3x3/s2 pool (models/common.py) — exact,
+        # avoids reduce_window's overlapping re-reads
+        x = max_pool_3x3_s2(x)
 
         feats = []
         planes = 64

@@ -38,6 +38,7 @@ from object_detectors_tpu.ops import boxes as box_ops
 from object_detectors_tpu.ops import losses as L
 from object_detectors_tpu.ops import matcher as M
 from object_detectors_tpu.ops import nms as N
+from object_detectors_tpu.ops import selection as SEL
 
 
 @dataclasses.dataclass(frozen=True)
@@ -254,10 +255,9 @@ def retinanet_loss(
             "bbox_regression": bbox_regression}
 
 
-@partial(jax.jit, static_argnames=("cfg", "level_sizes", "image_size"))
 def retinanet_postprocess(
-    cls_logits: jnp.ndarray,   # [B, A, K]
-    bbox_reg: jnp.ndarray,     # [B, A, 4]
+    cls_logits: jnp.ndarray,   # [B, A, K] f32 OR bf16 (see below)
+    bbox_reg: jnp.ndarray,     # [B, A, 4] f32 or bf16
     anchors: jnp.ndarray,      # [A, 4]
     level_sizes: tuple,
     image_size: tuple,         # (H, W)
@@ -265,7 +265,36 @@ def retinanet_postprocess(
     tfidf_post: jnp.ndarray | float = 1.0,
 ):
     """[B] static-shape detections: (boxes [B,D,4], scores [B,D],
-    labels [B,D], valid [B,D]) with D = detections_per_img."""
+    labels [B,D], valid [B,D]) with D = detections_per_img.
+
+    Accepts the head's native bf16 logits directly: selection compares
+    are exact on bf16 (the f32 cast is injective+monotone, so selecting
+    on bf16 == selecting on the f32 casts — tests/test_selection.py),
+    and only the <= topk survivors are cast to f32 for sigmoid/decode.
+    This avoids materializing the [B, A, K] f32 tensor (28 MB/img at
+    640²) the round-2 callers paid for.
+
+    Dispatches OUTSIDE jit on whether tfidf_post is a statically
+    positive python scalar (the default 1.0): a positive scalar
+    rescales logits monotonically, so selection runs on the unscaled
+    native-dtype logits with the score threshold moved into logit
+    space; a traced scalar/vector takes the f32 scaled path.
+    """
+    if isinstance(tfidf_post, (int, float)) and tfidf_post > 0:
+        return _retinanet_postprocess(
+            cls_logits, bbox_reg, anchors, level_sizes, image_size,
+            cfg, 1.0, float(tfidf_post))
+    return _retinanet_postprocess(
+        cls_logits, bbox_reg, anchors, level_sizes, image_size, cfg,
+        tfidf_post, None)
+
+
+@partial(jax.jit, static_argnames=("cfg", "level_sizes", "image_size",
+                                   "static_tfidf"))
+def _retinanet_postprocess(
+    cls_logits, bbox_reg, anchors, level_sizes, image_size,
+    cfg: RetinaNetConfig, tfidf_post, static_tfidf: float | None,
+):
     k = cls_logits.shape[-1]
 
     # With a scalar tfidf the sigmoid is monotonic per element, so the
@@ -273,6 +302,9 @@ def retinanet_postprocess(
     # the k survivors (saves a full [A, K] transcendental pass — at 640²
     # that's ~70M sigmoids skipped).
     scalar_tfidf = jnp.ndim(tfidf_post) == 0
+    static_pos = static_tfidf is not None
+    logit_thr = math.log(cfg.score_thresh / (1.0 - cfg.score_thresh))
+    ninf = -jnp.inf
 
     def per_image(logits, reg):
         lvl_boxes, lvl_scores, lvl_labels, lvl_valid = [], [], [], []
@@ -283,33 +315,44 @@ def retinanet_postprocess(
             an = jax.lax.dynamic_slice_in_dim(anchors, start, ls, 0)
             topk = min(cfg.topk_candidates, ls * k)
             if scalar_tfidf:
-                raw = lg * tfidf_post  # [ls, K] logits
-                logit_thr = jnp.log(cfg.score_thresh
-                                    / (1.0 - cfg.score_thresh))
-                raw = jnp.where(raw > logit_thr, raw, -jnp.inf)
+                if static_pos:
+                    # threshold compare in f32 (exact reference compare;
+                    # XLA fuses the convert into it), data stays bf16
+                    thr = logit_thr / static_tfidf
+                    raw = jnp.where(lg.astype(jnp.float32) > thr, lg,
+                                    jnp.asarray(ninf, lg.dtype))
+                    scale = static_tfidf
+                else:
+                    raw = lg.astype(jnp.float32) * tfidf_post
+                    raw = jnp.where(raw > logit_thr, raw, ninf)
+                    scale = 1.0
                 # Exact two-stage top-k: the global top-k (anchor, class)
                 # pairs touch at most k distinct anchors, and each such
                 # anchor's per-anchor max is >= its pair's score — so the
                 # top-k anchors by max-class score are a superset. This
                 # turns one top-k over ls*K (~5M at P3/640²) into a max
-                # reduce + two small top-ks.
+                # reduce + two radix selects (ops/selection.py — the
+                # lax.top_k sorts here cost ~2.5 ms each at bs16).
                 n_anchor = min(topk, ls)
                 anchor_best = jnp.max(raw, axis=1)  # [ls]
-                _, a_idx = N.exact_blocked_topk(anchor_best, n_anchor)
+                _, a_idx = SEL.radix_topk(anchor_best, n_anchor)
                 sub = raw[a_idx]  # [n_anchor, K]
-                topv_l, sub_i = jax.lax.top_k(sub.reshape(-1), topk)
+                topv_l, sub_i = SEL.radix_topk(sub.reshape(-1), topk)
                 topi = (a_idx[sub_i // k] * k + sub_i % k)
-                topv = jnp.where(jnp.isfinite(topv_l),
-                                 jax.nn.sigmoid(topv_l), -jnp.inf)
+                fin = jnp.isfinite(topv_l)
+                topv = jnp.where(
+                    fin, jax.nn.sigmoid(topv_l.astype(jnp.float32)
+                                        * scale), ninf)
             else:
-                scores = jax.nn.sigmoid(lg * tfidf_post).reshape(-1)
+                scores = jax.nn.sigmoid(
+                    lg.astype(jnp.float32) * tfidf_post).reshape(-1)
                 keep = scores > cfg.score_thresh
-                masked = jnp.where(keep, scores, -jnp.inf)
-                topv, topi = jax.lax.top_k(masked, topk)
+                masked = jnp.where(keep, scores, ninf)
+                topv, topi = SEL.radix_topk(masked, topk)
             anchor_idx = topi // k
             label = (topi % k).astype(jnp.int32)
-            b = box_ops.decode_boxes(rg[anchor_idx], an[anchor_idx],
-                                     cfg.box_weights)
+            b = box_ops.decode_boxes(rg[anchor_idx].astype(jnp.float32),
+                                     an[anchor_idx], cfg.box_weights)
             b = box_ops.clip_boxes_to_image(b, image_size)
             lvl_boxes.append(b)
             lvl_scores.append(jnp.where(jnp.isfinite(topv), topv, 0.0))
@@ -322,8 +365,8 @@ def retinanet_postprocess(
         valid = jnp.concatenate(lvl_valid, 0)
         if cfg.pre_nms_candidates and \
                 cfg.pre_nms_candidates < boxes.shape[0]:
-            _, keep = N.exact_blocked_topk(
-                jnp.where(valid, scores, -jnp.inf),
+            _, keep = SEL.radix_topk(
+                jnp.where(valid, scores.astype(jnp.float32), ninf),
                 cfg.pre_nms_candidates)
             boxes, scores, labels, valid = (
                 boxes[keep], scores[keep], labels[keep], valid[keep])

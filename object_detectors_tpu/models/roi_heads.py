@@ -34,6 +34,7 @@ from object_detectors_tpu.ops import boxes as box_ops
 from object_detectors_tpu.ops import losses as L
 from object_detectors_tpu.ops import matcher as M
 from object_detectors_tpu.ops import nms as N
+from object_detectors_tpu.ops import selection as SEL
 from object_detectors_tpu.ops import sampler as S
 
 
@@ -268,8 +269,9 @@ def postprocess_detections(
         fvalid = jnp.broadcast_to(pvalid[:, None], (p, c - 1)).reshape(-1)
         fvalid &= fscores > cfg.score_thresh
         cap = min(cfg.pre_nms_candidates, fscores.shape[0])
-        # exact blocked top-k (1000-of-90k on COCO, -of-1.2M on LVIS)
-        topv, topi = N.exact_blocked_topk(
+        # exact radix top-k (1000-of-90k on COCO, -of-1.2M on LVIS);
+        # set selection — batched_nms below re-sorts by score
+        topv, topi = SEL.radix_topk(
             jnp.where(fvalid, fscores, -jnp.inf), cap)
         prop_idx = topi // (c - 1)
         cls_idx = topi % (c - 1) + 1  # skip background column

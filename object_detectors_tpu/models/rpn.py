@@ -32,6 +32,7 @@ import flax.linen as nn
 from object_detectors_tpu.ops import boxes as box_ops
 from object_detectors_tpu.ops import losses as L
 from object_detectors_tpu.ops import matcher as M
+from object_detectors_tpu.ops import selection as SEL
 from object_detectors_tpu.ops import nms as N
 from object_detectors_tpu.ops import sampler as S
 
@@ -143,8 +144,10 @@ def filter_proposals(
             ob = jax.lax.dynamic_slice_in_dim(obj, start, ls, 0)
             pr = jax.lax.dynamic_slice_in_dim(props, start, ls, 0)
             k = min(pre_n, ls)
-            # exact blocked top-k: P2 at 640^2 is 1000-of-76800
-            topv, topi = N.exact_blocked_topk(ob, k)
+            # exact radix top-k: P2 at 640^2 is 1000-of-76800 (set
+            # selection — the per-level NMS below re-sorts; ties break
+            # lowest-index like torch.topk)
+            topv, topi = SEL.radix_topk(ob, k)
             if k < pre_n:
                 topv = jnp.concatenate(
                     [topv, jnp.full((pre_n - k,), -jnp.inf, topv.dtype)])
@@ -165,9 +168,13 @@ def filter_proposals(
         kept, _ = jax.vmap(N._fixedpoint_keep, (0, 0, None))(
             boxes, masked, cfg.nms_thresh)              # [L, pre_n]
         # merge: post_nms_top_n over all levels' survivors by score
-        # (rpn.py:276-280 keeps batched_nms order then slices top-n)
+        # (rpn.py:276-280 keeps batched_nms order then slices top-n).
+        # radix set-select: every downstream consumer (pooler tile sort,
+        # per-proposal heads, score-based caps) is proposal-order
+        # independent, so the score-DESC order of the old top_k is not
+        # needed — only the exact survivor set.
         flat_scores = jnp.where(kept, masked, -jnp.inf).reshape(-1)
-        topv, topi = jax.lax.top_k(flat_scores, post_n)
+        topv, topi = SEL.radix_topk(flat_scores, post_n)
         ovalid = jnp.isfinite(topv)
         ob2 = jnp.where(ovalid[:, None],
                         boxes.reshape(-1, 4)[topi], 0.0)

@@ -410,10 +410,14 @@ def pool_multiscale(features, boxes, image_size, output_size=(7, 7),
         method = "pallas" if platform == "tpu" else "canvas"
     if method.startswith("pallas"):
         interpret = method.endswith("_interpret")  # CPU parity tests
+        mode = "windows"
+        if method.startswith("pallas_tiled"):
+            mode = "tiled"
+        elif method.startswith("pallas_bands"):
+            mode = "bands"
         return _pool_pallas(tuple(features), boxes, image_size,
                             tuple(output_size), sampling_ratio, interpret,
-                            "tiled" if method.startswith("pallas_tiled")
-                            else "windows")
+                            mode)
     pool = {"canvas": multiscale_roi_align_canvas,
             "flat": multiscale_roi_align_flat}[method]
     return jax.vmap(

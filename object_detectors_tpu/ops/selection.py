@@ -1,0 +1,138 @@
+"""Exact top-k SET selection without a sort ("radix top-k").
+
+``lax.top_k`` on TPU lowers to a full bitonic sort network over the
+minor dimension: at detection scale (top-1000 of ~91k (anchor, class)
+pairs per RetinaNet level, 1000-of-76800 RPN objectness at P2/640²) one
+call costs 2.5-3 ms at bs16 on v5e (analysis/topk_bench.py), and the
+detectors pay several per step. But none of the consumers need the
+top-k in ORDER — fixed-point NMS, batched/majority NMS and the global
+pre-NMS caps all re-sort internally — they need the exact top-k SET.
+
+TPU-native plan (all dense VPU/MXU work, no long sorts, no scatter, no
+O(n) gathers):
+
+1. Map scores to an order-isomorphic integer code (16 bits for
+   bfloat16, 32 for float32) and find the exact k-th largest code by
+   binary search on the code space: nbits fixed-trip iterations, each
+   one compare+reduce pass over n.
+2. Reshape to [rows, 128] and sort each row descending along the lane
+   dimension (a cheap width-128 bitonic; the expensive thing on TPU is
+   sorting along a LONG axis, not 128 lanes), carrying column indices.
+3. Selected elements (> kth, plus just enough == kth, lowest index
+   first — lax.top_k's tie rule) form a PREFIX of every sorted row.
+   Prefix lengths come from per-row count reduces; their exclusive
+   cumsum assigns each row an output span. The span->row inverse is a
+   [k, rows] interval-membership compare + argmax — dense ops — after
+   which one k-row gather reads the winners.
+
+Returns the exact top-k SET with lax.top_k's tie rule. Output order is
+(row, within-row score rank), NOT globally score-sorted — callers that
+need score order must sort the k results (k is small).
+
+-0.0 is normalized to +0.0 before coding (the integer codes would
+otherwise order them). NaN scores are unsupported (NaN codes above
++inf); detection scores are sigmoid/softmax/logit values and the
+pipelines' non-finite guards abort training long before here.
+
+Parity note: replaces sort-based selection in RPN filter_proposals
+(reference torchvision_models/tvision/rpn.py:254-270 `_get_top_n_idx`),
+RetinaNet/RoIHeads pre-NMS candidate selection (tvision/retinanet.py
+:436-452, tvision/roi_heads.py:715-781) and the YOLO decode candidate
+cap — all set-selections whose downstream NMS re-sorts.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _to_code(x: jnp.ndarray):
+    """Order-isomorphic unsigned integer code (as int32/uint32) and the
+    number of significant code bits."""
+    if x.dtype == jnp.bfloat16:
+        u = jax.lax.bitcast_convert_type(x, jnp.uint16).astype(jnp.int32)
+        # negatives (sign bit set) map descending below positives
+        return jnp.where(u >= 0x8000, 0xFFFF - u, u + 0x8000), 16
+    if x.dtype == jnp.float32:
+        u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+        return jnp.where(
+            u >= jnp.uint32(0x80000000),
+            jnp.bitwise_not(u),
+            u | jnp.uint32(0x80000000)), 32
+    raise TypeError(f"radix_topk: unsupported dtype {x.dtype}")
+
+
+def _kth_code(code: jnp.ndarray, k: int, nbits: int):
+    """Exact k-th largest code: the maximum t with count(code >= t) >= k,
+    built bit-by-bit from the MSB (nbits compare+reduce passes)."""
+    zero = jnp.zeros((), code.dtype)
+    one = jnp.ones((), code.dtype)
+
+    def body(i, t):
+        cand = t | (one << (nbits - 1 - i).astype(code.dtype))
+        cnt = jnp.sum((code >= cand).astype(jnp.int32))
+        return jnp.where(cnt >= k, cand, t)
+
+    return jax.lax.fori_loop(0, nbits, body, zero)
+
+
+@partial(jax.jit, static_argnames=("k", "lanes"))
+def radix_topk(scores: jnp.ndarray, k: int, lanes: int = 128):
+    """Exact top-k SET of a 1-D score vector.
+
+    Returns (values [k], indices [k] int32). Ties at the k-th value are
+    broken lowest-index-first (same SET as lax.top_k); output order is
+    NOT score-sorted (see module docstring). vmap-safe.
+    """
+    n = scores.shape[0]
+    if k >= n:
+        return jax.lax.top_k(scores, min(k, n))
+    x = jnp.where(scores == 0, jnp.zeros_like(scores), scores)  # -0 -> +0
+    code, nbits = _to_code(x)
+    t = _kth_code(code, k, nbits)
+
+    nr = -(-n // lanes)
+    pad = nr * lanes - n
+    # pad code 0 is unreachable for non-NaN input (it encodes negative
+    # NaN), so padding never ties with real values
+    cp = jnp.pad(code, (0, pad)).reshape(nr, lanes)
+
+    # stable ascending sort on the complement == stable descending sort
+    # on the code; carry the column index
+    cols = jnp.broadcast_to(jnp.arange(lanes, dtype=jnp.int32),
+                            (nr, lanes))
+    if cp.dtype == jnp.uint32:
+        skey = jnp.bitwise_not(cp)
+    else:
+        skey = -cp
+    _, sorted_cols = jax.lax.sort((skey, cols), dimension=1, num_keys=1,
+                                  is_stable=True)
+
+    c_gt = jnp.sum((cp > t).astype(jnp.int32), axis=1)    # [nr]
+    c_eq = jnp.sum((cp == t).astype(jnp.int32), axis=1)
+    need = k - jnp.sum(c_gt)                    # how many == t to keep
+    eq_excl = jnp.cumsum(c_eq) - c_eq
+    eq_take = jnp.clip(need - eq_excl, 0, c_eq)
+    take = c_gt + eq_take                       # prefix length per row
+    off = jnp.cumsum(take) - take               # exclusive; sums to k
+
+    j = jnp.arange(k, dtype=jnp.int32)
+    inside = (j[:, None] >= off[None, :]) & \
+             (j[:, None] < (off + take)[None, :])         # [k, nr]
+    row = jnp.argmax(inside, axis=1).astype(jnp.int32)    # exactly one
+    rank = j - off[row]
+    col = sorted_cols[row, rank]
+    idx = row * lanes + col
+    return x[idx], idx
+
+
+def radix_topk_masked(scores: jnp.ndarray, valid: jnp.ndarray, k: int):
+    """Top-k of scores where valid, -inf elsewhere (common pre-NMS
+    pattern). Returns (values, indices); invalid selections (only when
+    fewer than k valid) carry -inf values."""
+    return radix_topk(
+        jnp.where(valid, scores,
+                  jnp.array(-jnp.inf, scores.dtype)), k)

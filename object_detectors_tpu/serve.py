@@ -250,7 +250,6 @@ def build_retinanet_pipeline(num_classes=91, img_size=640,
         cls, reg, level_sizes = model.apply(variables, images,
                                             train=False)
         return RN.retinanet_postprocess(
-            cls.astype(jnp.float32), reg.astype(jnp.float32), anchors,
-            tuple(level_sizes), (s, s), cfg)
+            cls, reg, anchors, tuple(level_sizes), (s, s), cfg)
 
     return infer
