@@ -76,8 +76,11 @@ def max_pool_3x3_s2(x):
     """3x3/stride-2/pad-1 max pool (the ResNet stem pool,
     utilities/resnet.py:148) via EXACT phase decomposition.
 
-    XLA's reduce_window lowering re-reads every overlapping window; on
-    v5e the stem pool was most of a 5.6 ms stem stage at bs16/640².
+    NOTE: measured SLOWER than plain reduce_window on v5e (stem detail
+    ablate, bs16 640²: +2.63 ms vs +0.84 ms for nn.max_pool) — the
+    dense reshapes materialize full intermediates while reduce_window
+    fuses. Kept for the ablation harness; the ResNet stem uses
+    max_pool_same (resnet.py:243).
     With row phases e[p] = x[2p], o[p] = x[2p+1] the window
     {2p-1, 2p, 2p+1} is max(o[p-1], e[p], o[p]) — one paired
     reshape-max plus one shifted max per axis, all dense reshapes and

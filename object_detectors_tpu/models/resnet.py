@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from object_detectors_tpu.models.common import (
-    FrozenBatchNorm, max_pool_3x3_s2,
+    FrozenBatchNorm, max_pool_same,
 )
 from object_detectors_tpu.models.fpn import FeaturePyramidNetwork
 
@@ -236,9 +236,11 @@ class ResNet(nn.Module):
         x = SpaceToDepthStem(dtype=self.dtype, name="conv1")(x)
         x = _norm(64, self.norm, self.dtype, "bn1")(x)
         x = nn.relu(x)
-        # phase-decomposed 3x3/s2 pool (models/common.py) — exact,
-        # avoids reduce_window's overlapping re-reads
-        x = max_pool_3x3_s2(x)
+        # plain reduce_window maxpool: the backbone_ablate stem detail
+        # (v5e, bs16 640²) measured it at +0.84 ms vs +2.63 ms for the
+        # phase-decomposed variant (models/common.max_pool_3x3_s2) —
+        # XLA's reduce_window lowering wins here.
+        x = max_pool_same(x, 3, 2)
 
         feats = []
         planes = 64
