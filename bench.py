@@ -404,11 +404,14 @@ def run_nms_latency(bs=512, n_cand=256, max_det=100, num_classes=80,
     return results
 
 
-def run_protocol(batch_sizes=(4, 8), img_size=416, num_images=64,
-                 out_csv="benchmark_res.csv"):
+def run_protocol(batch_sizes=(2, 4, 8, 16, 32, 64, 128), img_size=416,
+                 num_images=256, out_csv="benchmark_res.csv", runs=2):
     """The reference benchmark.py protocol (yolo/benchmark.py:17-157):
-    per batch size, time forward+decode+NMS vs CPU-eval vs total app
-    time, run full COCO-protocol eval, append a CSV row. Runs on a
+    per batch size in the reference's {2..128} ladder x ``runs`` runs
+    (benchmark.py:23 repeats each size), time forward+decode+NMS vs
+    CPU-eval vs total app time, run full COCO-protocol eval, append a
+    CSV row per run. Compile is excluded (explicit warm-up before the
+    app window — the r3 CSV's bs4 row was compile-polluted). Runs on a
     synthetic COCO-val stand-in (no datasets on disk)."""
     import csv
 
@@ -456,26 +459,28 @@ def run_protocol(batch_sizes=(4, 8), img_size=416, num_images=64,
         # warm up (compile) outside the timed app window
         jax.block_until_ready(infer(jnp.zeros(
             (bs, img_size, img_size, 3), jnp.bfloat16)))
-        t_app0 = time.perf_counter()
-        forw = 0.0
-        ev = E.DetectionEvaluator(gt, label_map=lambda c: c + 1)
-        for batch in D.yolo_batches(ds, bs, img_size, max_boxes=8):
-            x = jnp.asarray(batch["images"], jnp.bfloat16)
+        for _ in range(runs):
+            t_app0 = time.perf_counter()
+            forw = 0.0
+            ev = E.DetectionEvaluator(gt, label_map=lambda c: c + 1)
+            for batch in D.yolo_batches(ds, bs, img_size, max_boxes=8):
+                x = jnp.asarray(batch["images"], jnp.bfloat16)
+                t0 = time.perf_counter()
+                b, sc, lab, v = jax.block_until_ready(infer(x))
+                forw += time.perf_counter() - t0
+                keep = batch["image_ids"] >= 0
+                ev.update(batch["image_ids"][keep], np.asarray(b)[keep],
+                          np.asarray(sc)[keep], np.asarray(lab)[keep],
+                          np.asarray(v)[keep],
+                          batch["scale_factors"][keep])
             t0 = time.perf_counter()
-            b, sc, lab, v = jax.block_until_ready(infer(x))
-            forw += time.perf_counter() - t0
-            keep = batch["image_ids"] >= 0
-            ev.update(batch["image_ids"][keep], np.asarray(b)[keep],
-                      np.asarray(sc)[keep], np.asarray(lab)[keep],
-                      np.asarray(v)[keep], batch["scale_factors"][keep])
-        t0 = time.perf_counter()
-        stats = ev.summarize()
-        cpu_eval = time.perf_counter() - t0
-        app = time.perf_counter() - t_app0
-        rows.append({"batch": bs, "forw_time": round(forw, 3),
-                     "cpu_time": round(cpu_eval, 3),
-                     "app_time": round(app, 3),
-                     "map": round(float(stats[0]), 5)})
+            stats = ev.summarize()
+            cpu_eval = time.perf_counter() - t0
+            app = time.perf_counter() - t_app0
+            rows.append({"batch": bs, "forw_time": round(forw, 3),
+                         "cpu_time": round(cpu_eval, 3),
+                         "app_time": round(app, 3),
+                         "map": round(float(stats[0]), 5)})
     with open(out_csv, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
         w.writeheader()
@@ -503,8 +508,9 @@ def main():
     args = ap.parse_args()
 
     if args.protocol:
-        rows = run_protocol(tuple(args.batch_sizes or (4, 8)),
-                            args.img_size)
+        rows = run_protocol(
+            tuple(args.batch_sizes or (2, 4, 8, 16, 32, 64, 128)),
+            args.img_size)
         print(json.dumps({"metric": "benchmark_protocol",
                           "value": rows[-1]["map"], "unit": "mAP",
                           "vs_baseline": 0.0, "rows": rows}))

@@ -14,6 +14,7 @@ from __future__ import annotations
 import argparse
 import os
 import time
+from functools import partial
 
 import numpy as np
 import jax
@@ -37,7 +38,9 @@ from object_detectors_tpu.ops.roi_align import pool_multiscale  # noqa: E402
 
 
 def build_stages(size, dtype, pooler="auto"):
-    cfg = FR.FasterRCNNConfig(num_classes=91)
+    cfg = FR.FasterRCNNConfig(
+        num_classes=91,
+        roi=RH.RoIHeadsConfig(pooler_method=pooler))
     model = FR.FasterRCNN(cfg, dtype=dtype)
     x0 = jnp.zeros((1, size, size, 3), dtype)
     variables = model.init({"params": jax.random.key(0)}, x0, train=False)
@@ -102,9 +105,56 @@ def build_stages(size, dtype, pooler="auto"):
         out = model.apply(variables, images, train=False)
         return jnp.sum(out[0]) + jnp.sum(out[1])
 
+    def _full_pieces(images, filter_mode="real", pooler_mode=None):
+        """The full graph assembled from the stage pieces, so single
+        stages can be swapped for dummies — (full_pieces −
+        full_no_<stage>) is the stage's MARGINAL cost in context,
+        which cumulative prefixes can't see (XLA overlap)."""
+        feats = bb.apply(bbv, images, False)
+        obj, deltas, level_sizes = RPN.RPNHead(3, dtype=dtype).apply(
+            rpnv, feats)
+        obj = obj.astype(jnp.float32)
+        deltas = deltas.astype(jnp.float32)
+        grid_sizes = tuple((f.shape[1], f.shape[2]) for f in feats)
+        sizes, ars = anchor_lib.rpn_anchor_config()
+        anchors = jnp.asarray(anchor_lib.grid_anchors(
+            (images.shape[1], images.shape[2]), grid_sizes,
+            sizes[:len(grid_sizes)], ars[:len(grid_sizes)]))
+        props = box_ops.decode_boxes(deltas, anchors[None],
+                                     cfg.rpn.box_weights)
+        if filter_mode == "real":
+            pb, ps, pv = RPN.filter_proposals(
+                props, obj, level_sizes, images.shape[1:3], cfg.rpn,
+                training=False)
+        else:  # dummy: plain global top-k by objectness, no NMS
+            from object_detectors_tpu.ops import selection as SEL
+            post_n = cfg.rpn.post_nms_top_n_test
+
+            def per_image(pr, ob):
+                v, i = SEL.radix_topk(ob, post_n)
+                bx = box_ops.clip_boxes_to_image(
+                    pr[i], images.shape[1:3])
+                return bx, v, jnp.isfinite(v)
+
+            pb, ps, pv = jax.vmap(per_image)(props, obj)
+        pooled = pool_multiscale(
+            tuple(feats[:4]), pb, images.shape[1:3], (7, 7),
+            method=pooler_mode or pooler)
+        h = RH.TwoMLPHead(1024, dtype=dtype).apply(
+            headv, pooled.astype(dtype))
+        lg, rg = RH.FastRCNNPredictor(91, dtype=dtype).apply(predv, h)
+        out = RH.postprocess_detections(
+            lg.astype(jnp.float32), rg.astype(jnp.float32), pb, pv,
+            images.shape[1:3], cfg.roi)
+        return jnp.sum(out[0]) + jnp.sum(out[1])
+
     return {"backbone": backbone_only, "rpn_head": plus_rpn,
             "proposal_filter": plus_filter, "roi_align": plus_roialign,
-            "box_heads": plus_heads, "full": full}
+            "box_heads": plus_heads, "full": full,
+            "full_pieces": _full_pieces,
+            "full_no_pooler": partial(_full_pieces, pooler_mode="dummy"),
+            "full_no_filter": partial(_full_pieces, filter_mode="dummy"),
+            }
 
 
 def time_fn(fn, images, warmup=2, iters=12):

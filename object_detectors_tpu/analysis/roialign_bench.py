@@ -138,6 +138,7 @@ def main():
         "hybrid_tiled": hybrid_tiled,
         "bands": bands_fn(),
         "bands_dma": bands_fn(debug="dma_only"),
+        "bands_compute": bands_fn(debug="compute_only"),
         "hybrid_bands": hybrid_bands,
     }
     for name, fn in variants.items():

@@ -188,6 +188,7 @@ def yolo_batches_uint8(
     max_boxes: int = 100,
     shuffle: bool = False,
     seed: int = 0,
+    augment_rng: np.random.RandomState | None = None,
     process_index: int = 0,
     process_count: int = 1,
     prefetch: int = 2,
@@ -199,6 +200,11 @@ def yolo_batches_uint8(
     BASELINE.json north star (host cv2 resize was the reference's path,
     transformations.py:29). Images larger than the canvas are
     host-downscaled to fit (rare on COCO val at 640).
+
+    ``augment_rng`` enables the train-path augment family (same
+    semantics as :func:`yolo_batches` — the geometric/photometric
+    augments run on the native-resolution uint8 image BEFORE canvas
+    placement; only the resize+normalize moves on device).
 
     Yields dicts like :func:`yolo_batches` but with uint8 ``images``
     [B, C, C, 3], extra ``sizes`` [B, 2] (h, w) true sizes, and the
@@ -212,6 +218,20 @@ def yolo_batches_uint8(
         imgs, szs, bxs, lbs, vds, ids, scales = [], [], [], [], [], [], []
         for idx in order[i0:i0 + batch_size]:
             image, tgt = dataset[int(idx)]
+            boxes = tgt["boxes_xywh"].astype(np.float32)
+            labels = tgt["labels"]
+            if augment_rng is not None:
+                xyxy = boxes.copy()
+                if xyxy.size:
+                    xyxy[:, 2:] += xyxy[:, :2]
+                image, xyxy, labels = T.yolo_augment(
+                    augment_rng, image, xyxy, labels)
+                boxes = xyxy.copy()
+                if boxes.size:
+                    boxes[:, 2:] -= boxes[:, :2]
+                ih, iw = image.shape[:2]
+            else:
+                ih, iw = tgt["orig_size"]
             h, w = image.shape[:2]
             if h > cs or w > cs:  # host fallback downscale to fit
                 from PIL import Image
@@ -223,16 +243,15 @@ def yolo_batches_uint8(
                 h, w = nh, nw
             canvas = np.zeros((cs, cs, 3), np.uint8)
             canvas[:h, :w] = image
-            boxes = tgt["boxes_xywh"].astype(np.float32)
             oh, ow = tgt["orig_size"]
             if boxes.size:
-                cx = (boxes[:, 0] + boxes[:, 2] / 2) / ow
-                cy = (boxes[:, 1] + boxes[:, 3] / 2) / oh
-                rel = np.stack([cx, cy, boxes[:, 2] / ow,
-                                boxes[:, 3] / oh], 1)
+                cx = (boxes[:, 0] + boxes[:, 2] / 2) / iw
+                cy = (boxes[:, 1] + boxes[:, 3] / 2) / ih
+                rel = np.stack([cx, cy, boxes[:, 2] / iw,
+                                boxes[:, 3] / ih], 1)
             else:
                 rel = np.zeros((0, 4), np.float32)
-            b, l, v = T.pad_targets(rel, tgt["labels"], max_boxes)
+            b, l, v = T.pad_targets(rel, labels, max_boxes)
             imgs.append(canvas)
             szs.append((h, w))
             bxs.append(b)

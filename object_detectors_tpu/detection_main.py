@@ -65,12 +65,15 @@ def rcnn_batches(dataset, batch_size, canvas: int, max_boxes=100,
     mask batches (the reference never pairs them either).
     ar_group_factor >= 0 enables aspect-ratio grouped batching
     (train.py:83-85 / group_by_aspect_ratio.py).
-    device_ingest (eval only): the host keeps just JPEG decode — images
-    are yielded as a uint8 native-resolution canvas [B, nc, nc, 3] plus
-    true ``sizes``; the min/max-size bilinear resize + normalize + pad
-    run on device (kernels/preprocess.rcnn_resize_normalize_from_canvas,
-    BASELINE.json north-star item). GT boxes/scales are still computed
-    on the host with the identical scale formula. ``native_canvas``
+    device_ingest (train AND eval): the host keeps JPEG decode + uint8
+    augmentations — images are yielded as a uint8 native-resolution
+    canvas [B, nc, nc, 3] plus true ``sizes`` and per-image
+    ``min_sizes`` (the train path's random min-size draws); the
+    min/max-size bilinear resize + normalize + pad run on device
+    (kernels/preprocess.rcnn_resize_normalize_from_canvas,
+    BASELINE.json north-star item). GT boxes/masks/keypoints/scales
+    are still computed on the host with the identical scale formula
+    (masks rasterize at the device-resized dims). ``native_canvas``
     defaults to the dataset's max image side (images larger are
     host-downscaled to fit — rare)."""
     if device_ingest and native_canvas is None:
@@ -93,13 +96,17 @@ def rcnn_batches(dataset, batch_size, canvas: int, max_boxes=100,
         batch_lists = [order[i0:i0 + batch_size].tolist()
                        for i0 in range(0, len(order), batch_size)]
 
-    if device_ingest:
-        assert hflip_rng is None and not with_masks and not \
-            with_keypoints, "device_ingest is an eval-path mode"
+    # device_ingest supports the TRAIN path too (VERDICT r3 item 4 /
+    # missing #2): augmentations run on the native uint8 image BEFORE
+    # canvas placement, GT/masks/keypoints are scaled on the host with
+    # the same formula the device resize replays. Float-producing
+    # augments (photometric/zoom-out fill) quantize back to uint8 at
+    # canvas write — the host path keeps them f32; documented delta.
 
     def produce(idx_list):
         imgs, bxs, lbs, vds, ids, scales, msks, kplist, szs = \
             [], [], [], [], [], [], [], [], []
+        mslist = []
         for idx in idx_list:
             image, tgt = dataset[int(idx)]
             boxes = tgt["boxes_xywh"].copy()
@@ -181,7 +188,13 @@ def rcnn_batches(dataset, batch_size, canvas: int, max_boxes=100,
                 sboxes = (boxes.astype(np.float32) * scale if boxes.size
                           else np.zeros((0, 4), np.float32))
                 true_size = (h0, w0)
+                # masks/keypoints live in device-RESIZED coords — the
+                # device kernel computes round(native * scale); replay
+                # it (np.round == jnp.round, both half-to-even)
+                content_size = (int(np.round(h0 * scale)),
+                                int(np.round(w0 * scale)))
                 szs.append((h0, w0))
+                mslist.append(float(ms))
                 # detections live in (host downscale x device resize)
                 # coords; invert BOTH to map back to original pixels
                 inv_sx, inv_sy = 1.0 / (scale * hr_x), 1.0 / (scale * hr_y)
@@ -196,6 +209,7 @@ def rcnn_batches(dataset, batch_size, canvas: int, max_boxes=100,
                 img = T.normalize_image(padded)
                 img[true_size[0]:] = 0.0
                 img[:, true_size[1]:] = 0.0
+                content_size = true_size
                 inv_sx = inv_sy = 1.0 / scale
             b, l, v = T.pad_targets(sboxes, labels, max_boxes)
             if kps is not None:
@@ -211,7 +225,7 @@ def rcnn_batches(dataset, batch_size, canvas: int, max_boxes=100,
                 import cv2
 
                 mpad = np.zeros((max_boxes, canvas, canvas), np.float32)
-                nh, nw = true_size
+                nh, nw = content_size
                 for i_m in range(min(len(masks), max_boxes)):
                     mpad[i_m, :nh, :nw] = cv2.resize(
                         masks[i_m], (nw, nh),
@@ -236,6 +250,8 @@ def rcnn_batches(dataset, batch_size, canvas: int, max_boxes=100,
                 kplist.append(np.zeros_like(kplist[-1]))
             if szs:
                 szs.append(szs[-1])
+            if mslist:
+                mslist.append(mslist[-1])
         out = {
             "images": (np.stack(imgs) if device_ingest
                        else np.stack(imgs).astype(np.float32)),
@@ -247,6 +263,7 @@ def rcnn_batches(dataset, batch_size, canvas: int, max_boxes=100,
         }
         if device_ingest:
             out["sizes"] = np.array(szs, np.int32)
+            out["min_sizes"] = np.array(mslist, np.float32)
         if msks:
             out["gt_masks"] = np.stack(msks)
         if kplist:
@@ -635,8 +652,7 @@ def main(argv=None):
         if restored:
             train_state, start_epoch = restored
 
-    @jax.jit
-    def train_step(ts, batch, rng):
+    def _train_step_impl(ts, batch, rng):
         def loss_fn(p):
             losses = adapter.losses({**rest, "params": p}, batch, rng)
             return sum(jnp.asarray(v) for v in losses.values()), losses
@@ -647,6 +663,27 @@ def main(argv=None):
         new_params = optax.apply_updates(ts["params"], updates)
         return ({"params": new_params, "opt_state": new_opt,
                  "step": ts["step"] + 1}, total, losses)
+
+    train_step = jax.jit(_train_step_impl)
+
+    @jax.jit
+    def train_step_u8(ts, batch, rng):
+        """Device-ingest train step (VERDICT r3 item 4): uint8 native
+        canvas -> per-image min/max-size resize (per-image random
+        min-size replayed from the host draw) + normalize + pad INSIDE
+        the jitted step, then the same update."""
+        from object_detectors_tpu.kernels.preprocess import (
+            rcnn_resize_normalize_from_canvas,
+        )
+
+        images, _, _ = rcnn_resize_normalize_from_canvas(
+            batch["images"], batch["sizes"],
+            (args.image_size, args.image_size), max_size=max_size,
+            min_sizes=batch["min_sizes"])
+        b2 = {k: v for k, v in batch.items()
+              if k not in ("sizes", "min_sizes")}
+        b2["images"] = images
+        return _train_step_impl(ts, b2, rng)
 
     eval_masks = args.model == "maskrcnn_resnet50_fpn"
     eval_kps = args.model == "keypointrcnn_resnet50_fpn"
@@ -737,13 +774,15 @@ def main(argv=None):
                 hflip_rng=hflip_rng, with_masks=with_masks,
                 with_keypoints=eval_kps,
                 augmentation=args.data_augmentation,
-                ar_group_factor=args.aspect_ratio_group_factor)):
+                ar_group_factor=args.aspect_ratio_group_factor,
+                device_ingest=args.device_ingest)):
             jb = mesh_lib.put_sharded(
                 {k: jnp.asarray(v) for k, v in batch.items()
                  if k not in ("image_ids", "scale_factors")}, mesh)
             rng = jax.random.fold_in(
                 jax.random.key(args.seed), epoch * 100003 + i)
-            train_state, total, losses = train_step(train_state, jb, rng)
+            step_fn = train_step_u8 if args.device_ingest else train_step
+            train_state, total, losses = step_fn(train_state, jb, rng)
             total = float(total)
             if not np.isfinite(total):
                 log.error("Loss is %s, stopping (engine.py:40-43)", total)

@@ -204,7 +204,8 @@ def rcnn_resize_normalize_from_canvas(canvas: jnp.ndarray,
                                       sizes: jnp.ndarray, out_hw: tuple,
                                       min_size: int = 800,
                                       max_size: int = 1333,
-                                      out_dtype=jnp.float32):
+                                      out_dtype=jnp.float32,
+                                      min_sizes: jnp.ndarray | None = None):
     """Device-side GeneralizedRCNNTransform ingest: uint8 native-
     resolution canvas -> per-image aspect-preserving bilinear resize +
     /255 + ImageNet normalize + zero pad, one jitted program.
@@ -220,6 +221,12 @@ def rcnn_resize_normalize_from_canvas(canvas: jnp.ndarray,
     gathers), then normalize, then the region beyond (nh, nw) is
     zeroed exactly like the pad of ``data/transforms.rcnn_resize``.
 
+    ``min_sizes`` (optional, traced [B] f32/i32) overrides the static
+    ``min_size`` PER IMAGE — the train path draws a random min-size per
+    image when a tuple is configured (transform.py:150-157); the host
+    loader passes its drawn values so GT scaling and the device resize
+    agree exactly.
+
     Returns (images [B, ph, pw, 3] out_dtype, new_sizes [B, 2] i32,
     scales [B] f32). Numerics note: this resizes in f32 where the host
     path round-trips through cv2's uint8 output — the device path
@@ -229,7 +236,9 @@ def rcnn_resize_normalize_from_canvas(canvas: jnp.ndarray,
     ph, pw = out_hw
     h = sizes[:, 0].astype(jnp.float32)
     w = sizes[:, 1].astype(jnp.float32)
-    scale = jnp.minimum(min_size / jnp.minimum(h, w),
+    ms = (jnp.asarray(min_sizes, jnp.float32) if min_sizes is not None
+          else min_size)
+    scale = jnp.minimum(ms / jnp.minimum(h, w),
                         max_size / jnp.maximum(h, w))
     scale = jnp.minimum(scale, jnp.minimum(ph / h, pw / w))
     nh = jnp.round(h * scale)

@@ -823,7 +823,8 @@ def _prep_bands(features, boxes, image_size, oh, ow, s):
 
 
 @partial(jax.jit, static_argnames=("output_size", "sampling_ratio",
-                                   "image_size", "interpret", "debug"))
+                                   "image_size", "interpret", "debug",
+                                   "return_overflow"))
 def multiscale_roi_align_bands(
     features: Sequence[jnp.ndarray],   # per level [B, H_l, W_l, C]
     boxes: jnp.ndarray,                # [B, N, 4] xyxy image coords
@@ -833,16 +834,20 @@ def multiscale_roi_align_bands(
     interpret: bool = False,
     prep=None,
     debug: str = "full",
+    return_overflow: bool = False,
 ) -> jnp.ndarray:
-    """Band-sorted pooler: -> [B, N, oh, ow, C]. Same coverage as the
-    tiled pooler (overflow RoIs need the hybrid fix-up)."""
+    """Band-sorted pooler: -> [B, N, oh, ow, C]. Overflow RoIs (window
+    wider than every tier) pool GARBAGE band-0 data — callers must
+    route through :func:`multiscale_roi_align_hybrid` for the exact
+    fix-up, or pass ``return_overflow=True`` to also get the [B, N]
+    bool mask of uncovered RoIs and handle them (ADVICE r3)."""
     bsz, n = boxes.shape[:2]
     c = features[0].shape[-1]
     oh, ow = output_size
     if prep is None:
         prep = _prep_bands(features, boxes, image_size, oh, ow,
                            sampling_ratio)
-    canvas, tdesc, geom_t, inv, _ = prep
+    canvas, tdesc, geom_t, inv, ovr = prep
     band_w = canvas.shape[1]
     n_rois = bsz * n
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -864,7 +869,10 @@ def multiscale_roi_align_bands(
         grid_spec=grid_spec,
         interpret=interpret,
     )(tdesc, geom_t, canvas)
-    return out[inv].reshape(bsz, n, oh, ow, c)
+    pooled = out[inv].reshape(bsz, n, oh, ow, c)
+    if return_overflow:
+        return pooled, ovr.reshape(bsz, n)
+    return pooled
 
 
 def bands_fit_vmem(features, budget_bytes=14 * 2**20):

@@ -182,13 +182,28 @@ def train_one_epoch(state, cfg, loss_cfg, dataset, mesh, epoch,
     if int(cfg.dataset.get("augment", 0) or 0) > 0:
         augment_rng = np.random.RandomState(
             int(cfg.seed) * 977 + epoch + jax.process_index())
-    batches = data_coco.yolo_batches(
-        dataset, int(cfg.dataset.tr_batch_size), loss_cfg.img_size,
-        int(cfg.dataset.get("max_boxes", 100)), shuffle=True,
-        seed=int(cfg.seed) + epoch,
-        augment_rng=augment_rng,
-        process_index=jax.process_index(),
-        process_count=jax.process_count())
+    # Device ingest (default ON, VERDICT r3 item 4): the host only
+    # decodes (+ optional uint8 augments); bicubic resize + normalize
+    # run INSIDE the jitted train step — image->gradients is one
+    # program. Set dataset.device_ingest_train=false for the host path.
+    ingest = bool(cfg.dataset.get("device_ingest_train", True))
+    if ingest:
+        batches = data_coco.yolo_batches_uint8(
+            dataset, int(cfg.dataset.tr_batch_size), loss_cfg.img_size,
+            canvas_size=int(cfg.dataset.get("canvas_size", 640)),
+            max_boxes=int(cfg.dataset.get("max_boxes", 100)),
+            shuffle=True, seed=int(cfg.seed) + epoch,
+            augment_rng=augment_rng,
+            process_index=jax.process_index(),
+            process_count=jax.process_count())
+    else:
+        batches = data_coco.yolo_batches(
+            dataset, int(cfg.dataset.tr_batch_size), loss_cfg.img_size,
+            int(cfg.dataset.get("max_boxes", 100)), shuffle=True,
+            seed=int(cfg.seed) + epoch,
+            augment_rng=augment_rng,
+            process_index=jax.process_index(),
+            process_count=jax.process_count())
 
     for i, batch in enumerate(logger.log_every(
             batches, int(cfg.verbose_freq), f"epoch {epoch}",
@@ -199,24 +214,40 @@ def train_one_epoch(state, cfg, loss_cfg, dataset, mesh, epoch,
             key = jax.random.fold_in(
                 jax.random.key(int(cfg.seed)), epoch * 100003 + i)
             cur_size = trainer.pick_scale(key, sizes)
-        images = jnp.asarray(batch["images"])
-        if cur_size != images.shape[1]:
-            images = jax.image.resize(
-                images, (images.shape[0], cur_size, cur_size, 3),
-                "linear")
         scaled_cfg = loss_cfg if cur_size == loss_cfg.img_size else \
             YC.YoloLossConfig(**{
                 **loss_cfg.__dict__, "img_size": int(cur_size)})
-        sharded = mesh_lib.put_sharded(
-            {"images": images,
-             "gt_boxes": jnp.asarray(batch["gt_boxes"]),
-             "gt_labels": jnp.asarray(batch["gt_labels"]),
-             "gt_valid": jnp.asarray(batch["gt_valid"])}, mesh)
-        state, metrics = trainer.yolo_train_step(
-            state, sharded["images"], sharded["gt_boxes"],
-            sharded["gt_labels"], sharded["gt_valid"], scaled_cfg,
-            num_classes, anchors_per_scale,
-            class_weights=class_weights, idf_logits=idf_logits)
+        if ingest:
+            # multiscale costs nothing extra here: the device resize
+            # targets cur_size straight from the same uint8 canvas
+            sharded = mesh_lib.put_sharded(
+                {"images": jnp.asarray(batch["images"]),
+                 "sizes": jnp.asarray(batch["sizes"]),
+                 "gt_boxes": jnp.asarray(batch["gt_boxes"]),
+                 "gt_labels": jnp.asarray(batch["gt_labels"]),
+                 "gt_valid": jnp.asarray(batch["gt_valid"])}, mesh)
+            state, metrics = trainer.yolo_train_step_ingest(
+                state, sharded["images"], sharded["sizes"],
+                sharded["gt_boxes"], sharded["gt_labels"],
+                sharded["gt_valid"], scaled_cfg, num_classes,
+                anchors_per_scale=anchors_per_scale,
+                class_weights=class_weights, idf_logits=idf_logits)
+        else:
+            images = jnp.asarray(batch["images"])
+            if cur_size != images.shape[1]:
+                images = jax.image.resize(
+                    images, (images.shape[0], cur_size, cur_size, 3),
+                    "linear")
+            sharded = mesh_lib.put_sharded(
+                {"images": images,
+                 "gt_boxes": jnp.asarray(batch["gt_boxes"]),
+                 "gt_labels": jnp.asarray(batch["gt_labels"]),
+                 "gt_valid": jnp.asarray(batch["gt_valid"])}, mesh)
+            state, metrics = trainer.yolo_train_step(
+                state, sharded["images"], sharded["gt_boxes"],
+                sharded["gt_labels"], sharded["gt_valid"], scaled_cfg,
+                num_classes, anchors_per_scale,
+                class_weights=class_weights, idf_logits=idf_logits)
         loss = float(metrics["loss"])
         if not np.isfinite(loss):
             log.warning("non-finite loss at epoch %d iter %d", epoch, i)

@@ -54,7 +54,10 @@ class RetinaNetConfig:
     # per-level top-1000s sum to ~4700 at 640^2). Greedy NMS only ever
     # consults higher-scored boxes, so the top-K prefix is exact as long
     # as >= detections_per_img survivors land inside it (same argument
-    # as RoIHeadsConfig.pre_nms_candidates). 0 disables.
+    # as RoIHeadsConfig.pre_nms_candidates); under prefix starvation the
+    # degradation is one-sided truncation of the lowest-ranked
+    # detections, never wrong/reordered boxes (tests/test_pre_nms_cap.py
+    # constructs both regimes). 0 disables.
     pre_nms_candidates: int = 2000
     box_weights: tuple = (1.0, 1.0, 1.0, 1.0)
     focal_alpha: float = 0.25
@@ -317,10 +320,14 @@ def _retinanet_postprocess(
             if scalar_tfidf:
                 if static_pos:
                     # threshold compare in f32 (exact reference compare;
-                    # XLA fuses the convert into it), data stays bf16
-                    thr = logit_thr / static_tfidf
-                    raw = jnp.where(lg.astype(jnp.float32) > thr, lg,
-                                    jnp.asarray(ninf, lg.dtype))
+                    # XLA fuses the convert into it), data stays bf16.
+                    # Multiply (not divide-the-threshold): the reference
+                    # compares sigmoid(lg * tfidf) > s, and the f32
+                    # multiply rounds identically to its logit-space
+                    # equivalent lg * tfidf > logit(s) — ADVICE r3.
+                    raw = jnp.where(
+                        lg.astype(jnp.float32) * static_tfidf > logit_thr,
+                        lg, jnp.asarray(ninf, lg.dtype))
                     scale = static_tfidf
                 else:
                     raw = lg.astype(jnp.float32) * tfidf_post

@@ -52,8 +52,11 @@ class RoIHeadsConfig:
     # candidates entering NMS after the (proposal, class) flatten —
     # greedy NMS only ever consults higher-scored boxes, so keeping the
     # top-k prefix is exact as long as >= detections_per_img survivors
-    # live inside it; without the cap the O(N^2) IoU matrix explodes
-    # (1000 proposals x 1202 LVIS classes = 1.2M pairs).
+    # live inside it; under prefix starvation the degradation is
+    # one-sided truncation of the lowest-ranked detections, never
+    # wrong/reordered boxes (tests/test_pre_nms_cap.py). Without the
+    # cap the O(N^2) IoU matrix explodes (1000 proposals x 1202 LVIS
+    # classes = 1.2M pairs).
     pre_nms_candidates: int = 1000
     loss_type: str = "ce"          # ce|bce|focal_loss|gombit|gombit_fl
     pool_size: tuple = (7, 7)

@@ -100,7 +100,8 @@ def _select_max_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
 
 
 def _fixedpoint_keep(boxes: jnp.ndarray, scores: jnp.ndarray,
-                     iou_threshold: float, iter_cap: int | None = None):
+                     iou_threshold: float, iter_cap: int | None = None,
+                     chunk: int = 256, unroll: int = 2):
     """Exact greedy-NMS kept set via self-suppression fixed point.
 
     Greedy NMS is the unique fixed point of
@@ -134,6 +135,15 @@ def _fixedpoint_keep(boxes: jnp.ndarray, scores: jnp.ndarray,
     the per-iteration matrix traffic from [N, N] to [chunk, chunk]
     (measured 4.3 ms -> ~1 ms for the 5-level RPN filter at bs16).
 
+    ``unroll`` applies the suppression map that many times per
+    while-loop trip: each application is one tiny masked matvec
+    ([chunk, chunk] bf16 — compute is negligible), while each LOOP TRIP
+    pays fixed TPU while-overhead (cond reduce + kernel launches), so
+    unrolling divides the dominant per-trip cost by ``unroll`` at the
+    price of at most ``unroll - 1`` extra matvecs after convergence.
+    The fixed point is monotone-reached (applying the map to an
+    already-converged kept is identity), so any unroll is exact.
+
     scores: -inf marks invalid. Returns (kept mask in INPUT order,
     converged bool — always True when iter_cap is None).
     """
@@ -148,7 +158,6 @@ def _fixedpoint_keep(boxes: jnp.ndarray, scores: jnp.ndarray,
            & alive[None, :] & alive[:, None])
     supf = sup.astype(jnp.bfloat16)
 
-    chunk = 256
     if n <= chunk:
         cap = n if iter_cap is None else min(iter_cap, n)
 
@@ -158,9 +167,11 @@ def _fixedpoint_keep(boxes: jnp.ndarray, scores: jnp.ndarray,
 
         def body(state):
             kept, _, it = state
-            suppressed = (supf @ kept.astype(jnp.bfloat16)) > 0.5
-            new_kept = alive & ~suppressed
-            return new_kept, jnp.any(new_kept != kept), it + 1
+            new_kept = kept
+            for _ in range(unroll):
+                suppressed = (supf @ new_kept.astype(jnp.bfloat16)) > 0.5
+                new_kept = alive & ~suppressed
+            return new_kept, jnp.any(new_kept != kept), it + unroll
 
         kept, changed, _ = jax.lax.while_loop(
             cond, body, (alive, jnp.array(True), jnp.zeros((), jnp.int32)))
@@ -190,9 +201,11 @@ def _fixedpoint_keep(boxes: jnp.ndarray, scores: jnp.ndarray,
 
         def body(state):
             kept, _, it = state
-            suppressed = (sub @ kept.astype(jnp.bfloat16)) > 0.5
-            new_kept = alive_c & ~suppressed
-            return new_kept, jnp.any(new_kept != kept), it + 1
+            new_kept = kept
+            for _ in range(unroll):
+                suppressed = (sub @ new_kept.astype(jnp.bfloat16)) > 0.5
+                new_kept = alive_c & ~suppressed
+            return new_kept, jnp.any(new_kept != kept), it + unroll
 
         kept_c, changed, _ = jax.lax.while_loop(
             cond, body, (alive_c, jnp.array(True),
@@ -207,14 +220,16 @@ def _fixedpoint_keep(boxes: jnp.ndarray, scores: jnp.ndarray,
 
 
 def _fixedpoint_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
-                    iou_threshold: float, max_output: int):
+                    iou_threshold: float, max_output: int,
+                    chunk: int = 256, unroll: int = 2):
     """(keep_idx [K], valid [K]) — same contract as _select_max_nms, kept
     entries in score-descending order (the greedy order), via the
     fixed-point kept set + one top-k over survivors (iteration count =
     suppression-chain depth, intrinsically <= N; see
     :func:`_fixedpoint_keep` for why there is deliberately NO per-image
     fallback branch)."""
-    kept, _ = _fixedpoint_keep(boxes, scores, iou_threshold)
+    kept, _ = _fixedpoint_keep(boxes, scores, iou_threshold,
+                               chunk=chunk, unroll=unroll)
     k = min(max_output, boxes.shape[0])
     topv, topi = jax.lax.top_k(jnp.where(kept, scores, -jnp.inf), k)
     out_valid = jnp.isfinite(topv)
@@ -226,7 +241,8 @@ def _fixedpoint_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
     return topi.astype(jnp.int32), out_valid
 
 
-@partial(jax.jit, static_argnames=("iou_threshold", "max_output", "method"))
+@partial(jax.jit, static_argnames=("iou_threshold", "max_output", "method",
+                                   "fp_chunk", "fp_unroll"))
 def nms(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
@@ -234,6 +250,8 @@ def nms(
     max_output: int = 100,
     valid: jnp.ndarray | None = None,
     method: str = "auto",
+    fp_chunk: int = 256,
+    fp_unroll: int = 2,
 ):
     """Greedy NMS with fixed-size output.
 
@@ -258,7 +276,8 @@ def nms(
         method = "fixedpoint"
     if method == "fixedpoint":
         keep_idx, out_valid = _fixedpoint_nms(boxes, s, iou_threshold,
-                                              max_output)
+                                              max_output, chunk=fp_chunk,
+                                              unroll=fp_unroll)
     else:
         keep_idx, out_valid = _select_max_nms(boxes, s, iou_threshold,
                                               max_output)
@@ -326,9 +345,12 @@ def _majority_nms_fixedpoint(boxes, scores, labels_in, num_classes,
 
     def body(state):
         kept, _, it = state
-        suppressed = (supf @ kept.astype(jnp.bfloat16)) > 0.5
-        new_kept = alive & ~suppressed
-        return new_kept, jnp.any(new_kept != kept), it + 1
+        new_kept = kept
+        for _ in range(2):  # unroll: halves while-trip overhead (exact,
+            # see _fixedpoint_keep — the map is identity at convergence)
+            suppressed = (supf @ new_kept.astype(jnp.bfloat16)) > 0.5
+            new_kept = alive & ~suppressed
+        return new_kept, jnp.any(new_kept != kept), it + 2
 
     kept, _, _ = jax.lax.while_loop(
         cond, body, (alive, jnp.array(True), jnp.zeros((), jnp.int32)))

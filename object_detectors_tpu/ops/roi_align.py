@@ -408,6 +408,18 @@ def pool_multiscale(features, boxes, image_size, output_size=(7, 7),
     if method == "auto":
         platform = _jax.devices()[0].platform
         method = "pallas" if platform == "tpu" else "canvas"
+    if method == "dummy":
+        # Leave-one-out ablation support (analysis/frcnn_ablate.py):
+        # same output shape/dtype at ~zero cost, so (full graph) minus
+        # (full graph with dummy pooler) is the pooler's true marginal
+        # cost IN CONTEXT — cumulative-prefix timing can't see overlap.
+        b, n = boxes.shape[:2]
+        oh, ow = output_size
+        c = features[0].shape[-1]
+        cell = jax.lax.slice(features[0], (0, 0, 0, 0),
+                             (b, oh, ow, c))          # [B, oh, ow, C]
+        scale = (boxes[..., 2] - boxes[..., 0])[..., None, None, None]
+        return cell[:, None] * (1.0 + 0.0 * scale).astype(cell.dtype)
     if method.startswith("pallas"):
         interpret = method.endswith("_interpret")  # CPU parity tests
         mode = "windows"
@@ -415,6 +427,20 @@ def pool_multiscale(features, boxes, image_size, output_size=(7, 7),
             mode = "tiled"
         elif method.startswith("pallas_bands"):
             mode = "bands"
+        # SMEM holds the per-RoI scalar-prefetch descriptors (11 words/
+        # RoI); v5e SMEM is 1 MiB, so >~16k RoIs per kernel OOMs at
+        # compile (bs32 x 1000 proposals did). Chunk the BATCH dim —
+        # RoIs are independent and each chunk preps its own canvas.
+        bsz, n = boxes.shape[:2]
+        per = max(1, 16000 // max(n, 1))
+        if bsz > per:
+            outs = [
+                _pool_pallas(tuple(f[i:i + per] for f in features),
+                             boxes[i:i + per], image_size,
+                             tuple(output_size), sampling_ratio,
+                             interpret, mode)
+                for i in range(0, bsz, per)]
+            return jnp.concatenate(outs, 0)
         return _pool_pallas(tuple(features), boxes, image_size,
                             tuple(output_size), sampling_ratio, interpret,
                             mode)

@@ -30,9 +30,12 @@ Returns the exact top-k SET with lax.top_k's tie rule. Output order is
 need score order must sort the k results (k is small).
 
 -0.0 is normalized to +0.0 before coding (the integer codes would
-otherwise order them). NaN scores are unsupported (NaN codes above
-+inf); detection scores are sigmoid/softmax/logit values and the
-pipelines' non-finite guards abort training long before here.
+otherwise order them). NaN scores order BELOW everything including
+-inf (their codes are remapped to the minimum real code, one extra
+compare+select per element — ADVICE r3): a NaN-producing checkpoint
+yields the top-k of the remaining non-NaN scores, and NaN values only
+appear in the output (visibly, as NaN) when fewer than k scores are
+non-NaN. lax.top_k would instead sort NaN above +inf.
 
 Parity note: replaces sort-based selection in RPN filter_proposals
 (reference torchvision_models/tvision/rpn.py:254-270 `_get_top_n_idx`),
@@ -52,16 +55,21 @@ import jax.numpy as jnp
 def _to_code(x: jnp.ndarray):
     """Order-isomorphic unsigned integer code (as int32/uint32) and the
     number of significant code bits."""
+    nan = jnp.isnan(x)
     if x.dtype == jnp.bfloat16:
         u = jax.lax.bitcast_convert_type(x, jnp.uint16).astype(jnp.int32)
         # negatives (sign bit set) map descending below positives
-        return jnp.where(u >= 0x8000, 0xFFFF - u, u + 0x8000), 16
+        c = jnp.where(u >= 0x8000, 0xFFFF - u, u + 0x8000)
+        # NaN sorts below everything real (code 1; 0 stays the padding
+        # sentinel) instead of the raw code's above-+inf ordering
+        return jnp.where(nan, jnp.ones_like(c), c), 16
     if x.dtype == jnp.float32:
         u = jax.lax.bitcast_convert_type(x, jnp.uint32)
-        return jnp.where(
+        c = jnp.where(
             u >= jnp.uint32(0x80000000),
             jnp.bitwise_not(u),
-            u | jnp.uint32(0x80000000)), 32
+            u | jnp.uint32(0x80000000))
+        return jnp.where(nan, jnp.ones_like(c), c), 32
     raise TypeError(f"radix_topk: unsupported dtype {x.dtype}")
 
 
@@ -96,8 +104,8 @@ def radix_topk(scores: jnp.ndarray, k: int, lanes: int = 128):
 
     nr = -(-n // lanes)
     pad = nr * lanes - n
-    # pad code 0 is unreachable for non-NaN input (it encodes negative
-    # NaN), so padding never ties with real values
+    # pad code 0 is unreachable for ANY input (NaN remaps to 1, and no
+    # float encodes to 0), so padding never ties with real values
     cp = jnp.pad(code, (0, pad)).reshape(nr, lanes)
 
     # stable ascending sort on the complement == stable descending sort

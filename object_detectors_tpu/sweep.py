@@ -200,13 +200,43 @@ def one_epoch_objective(cfg: Config) -> float:
         return -1e7
 
 
+def _spawned_trial(args):
+    """Module-level worker for process-parallel trials (must pickle).
+    Children pin the CPU backend — this rig's TPU admits ONE process at
+    a time (a second silently hangs), and the reference's analogue is
+    CPU-overlappable anyway (`yolo/test.py:23-24` maps joblib workers
+    onto gpus via pid%n; here workers share the host)."""
+    config_dir, trial_overrides = args
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from object_detectors_tpu.sweep import one_epoch_objective
+    from object_detectors_tpu.utils.config import load_config
+
+    try:
+        return float(one_epoch_objective(load_config(config_dir,
+                                                     trial_overrides)))
+    except Exception:  # failed trial: poisoned like test.py:45-52
+        return -1e7
+
+
 def run_sweep(config_dir: str, overrides, max_trials: int | None = None,
               space_name: str = "opt1", out_csv: str = "sweep_results.csv",
               objective=one_epoch_objective, seed: int = 0,
-              proposer: str = "gp", n_init: int | None = None):
+              proposer: str = "gp", n_init: int | None = None,
+              workers: int = 1):
     """proposer: 'gp' (Sobol init then GP-EI — the Ax model-based loop),
     'sobol' (pure quasi-random search), or 'perturb' (Sobol +
-    incumbent perturbation, the round-1 behavior)."""
+    incumbent perturbation, the round-1 behavior).
+
+    workers > 1 evaluates trials in batch-synchronous rounds of that
+    many SPAWNED processes (the `hydra/hyperopt.yaml:27-41` joblib
+    launcher equivalent): a round's candidates come from the Sobol
+    stream or one GP-EI proposal + incumbent-perturbation fill (a
+    round is proposed before any of its scores exist), then the pool
+    scores them concurrently on the CPU backend and the history/GP
+    advances once per round. workers=1 keeps the sequential loop and
+    the caller's (possibly unpicklable) ``objective``."""
     space = load_space(config_dir, space_name)
     n = max_trials or int(space.get("max_trials", 20))
     d = len(space["params"])
@@ -223,24 +253,42 @@ def run_sweep(config_dir: str, overrides, max_trials: int | None = None,
     best_score, best_params = -np.inf, None
     rows = []
     history = []
-    for trial in range(n):
+
+    def propose(trial):
         if trial < len(candidates):
-            params = candidates[trial]
-        elif proposer == "gp":
+            return candidates[trial]
+        if proposer == "gp":
             params = gp_propose(history, space, rng)
-            if params is None:
-                params = perturb(best_params or candidates[0], space, rng)
+            if params is not None:
+                return params
+        return perturb(best_params or candidates[0], space, rng)
+
+    trial = 0
+    while trial < n:
+        round_n = min(max(int(workers), 1), n - trial)
+        batch_params = [propose(trial + j) for j in range(round_n)]
+        if round_n > 1:
+            import multiprocessing as mp
+            from concurrent.futures import ProcessPoolExecutor
+
+            jobs = [(config_dir, list(overrides) + [
+                f"{k}={v}" for k, v in p.items()]) for p in batch_params]
+            with ProcessPoolExecutor(
+                    max_workers=round_n,
+                    mp_context=mp.get_context("spawn")) as pool:
+                scores = list(pool.map(_spawned_trial, jobs))
         else:
-            params = perturb(best_params or candidates[0], space, rng)
-        trial_overrides = list(overrides) + [
-            f"{k}={v}" for k, v in params.items()]
-        cfg = load_config(config_dir, trial_overrides)
-        score = objective(cfg)
-        rows.append({**params, "score": score, "trial": trial})
-        history.append({"params": params, "score": score})
-        if score > best_score:
-            best_score, best_params = score, params
-        log.info("trial %d score=%.5f best=%.5f", trial, score, best_score)
+            cfg = load_config(config_dir, list(overrides) + [
+                f"{k}={v}" for k, v in batch_params[0].items()])
+            scores = [objective(cfg)]
+        for params, score in zip(batch_params, scores):
+            rows.append({**params, "score": score, "trial": trial})
+            history.append({"params": params, "score": score})
+            if score > best_score:
+                best_score, best_params = score, params
+            log.info("trial %d score=%.5f best=%.5f", trial, score,
+                     best_score)
+            trial += 1
 
     if out_csv:
         os.makedirs(os.path.dirname(out_csv) or ".", exist_ok=True)
@@ -262,11 +310,14 @@ def main(argv=None):
     ap.add_argument("--out", default="sweep_results.csv")
     ap.add_argument("--proposer", default="gp",
                     choices=["gp", "sobol", "perturb"])
+    ap.add_argument("--workers", type=int, default=1,
+                    help="process-parallel trials per round (joblib "
+                         "launcher parity, hydra/hyperopt.yaml:27-41)")
     args = ap.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     best_params, best_score, _ = run_sweep(
         args.config_dir, args.overrides, args.max_trials, args.space,
-        args.out, proposer=args.proposer)
+        args.out, proposer=args.proposer, workers=args.workers)
     print(f"best score {best_score:.5f} with {best_params}")
 
 

@@ -124,6 +124,43 @@ def yolo_train_step(
     return new_state, metrics
 
 
+@partial(jax.jit, static_argnames=("cfg", "num_classes",
+                                   "anchors_per_scale", "out_dim"),
+         donate_argnums=(0,))
+def yolo_train_step_ingest(
+    state: TrainState,
+    canvas: jnp.ndarray,     # [B, Hc, Wc, 3] uint8 native-res canvas
+    sizes: jnp.ndarray,      # [B, 2] (h, w) true sizes
+    gt_boxes: jnp.ndarray,
+    gt_labels: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    cfg: YC.YoloLossConfig,
+    num_classes: int,
+    out_dim: int | None = None,
+    anchors_per_scale: int = 3,
+    class_weights: jnp.ndarray | None = None,
+    idf_logits: jnp.ndarray | float = 1.0,
+):
+    """Device-ingest train step: uint8 canvas in, fused bicubic
+    resize+normalize (kernels/preprocess.py) INSIDE the jitted step,
+    then the same SPMD update as :func:`yolo_train_step` — the whole
+    image->gradients path is one program (BASELINE north star; the
+    reference resizes on host, `yolo/dsets/transformations.py:10-53`).
+    GT is relative cxcywh so the resize never touches it. ``out_dim``
+    overrides cfg.img_size for multiscale buckets (one compile per
+    bucket, same as the host path)."""
+    from object_detectors_tpu.kernels.preprocess import (
+        resize_normalize_from_canvas,
+    )
+
+    images = resize_normalize_from_canvas(
+        canvas, sizes, out_dim or cfg.img_size, jnp.float32)
+    return yolo_train_step(
+        state, images, gt_boxes, gt_labels, gt_valid, cfg, num_classes,
+        anchors_per_scale, class_weights=class_weights,
+        idf_logits=idf_logits)
+
+
 @partial(jax.jit, static_argnames=("cfg", "num_classes", "anchors_per_scale"))
 def yolo_eval_step(
     state: TrainState,

@@ -102,3 +102,24 @@ def test_bf16_matches_f32_cast_selection():
     _, i16 = radix_topk(s16, 300)
     _, i32 = radix_topk(s16.astype(jnp.float32), 300)
     assert set(np.asarray(i16).tolist()) == set(np.asarray(i32).tolist())
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_nan_orders_below_everything(dtype):
+    """NaN scores sort below -inf (ADVICE r3: a NaN-producing checkpoint
+    must not yield garbage selections — lax.top_k would rank NaN above
+    +inf). NaN only reaches the output when fewer than k scores are
+    non-NaN, and then visibly (as NaN values)."""
+    s = np.array([3.0, np.nan, 1.0, -np.inf, np.nan, 2.0, 0.5],
+                 np.float32)
+    sj = jnp.asarray(s).astype(dtype)
+    rv, ri = radix_topk(sj, 4)
+    # the 4 best non-NaN values, no NaN selected
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(rv, np.float32)), [0.5, 1.0, 2.0, 3.0])
+    assert not np.isnan(np.asarray(rv, np.float32)).any()
+    # k beyond the non-NaN count: -inf selected before any NaN, the
+    # remainder visibly NaN
+    rv6, _ = radix_topk(sj, 6)
+    v6 = np.asarray(rv6, np.float32)
+    assert np.isneginf(v6).sum() == 1 and np.isnan(v6).sum() == 1

@@ -147,3 +147,52 @@ def test_frcnn_train_step_sharded_on_mesh():
     mesh = M.make_mesh(devices, data=4, model=2)
     loss = G._dryrun_frcnn(mesh, 8)
     assert loss > 0
+
+
+def test_train_step_ingest_matches_host_path():
+    """Device-ingest step (uint8 canvas + in-jit resize/normalize,
+    VERDICT r3 item 4) runs, updates params, and — when the canvas IS
+    already at the target size — matches the host-path step on the
+    equivalent preprocessed images to bicubic-matmul tolerance."""
+    from object_detectors_tpu.kernels.preprocess import (
+        resize_normalize_from_canvas,
+    )
+
+    rng = np.random.RandomState(3)
+    bs, cs = 4, IMG  # canvas == target: resize is (near-)identity
+    canvas = rng.randint(0, 255, (bs, cs, cs, 3), np.uint8)
+    sizes = np.full((bs, 2), IMG, np.int32)
+    b = _batch(bs)
+
+    state_a = _make_state(lr=1e-3)
+    state_b = _make_state(lr=1e-3)
+    state_a, ma = T.yolo_train_step_ingest(
+        state_a, jnp.asarray(canvas), jnp.asarray(sizes), b["gt_boxes"],
+        b["gt_labels"], b["gt_valid"], CFG, NUM_CLASSES)
+    images = resize_normalize_from_canvas(
+        jnp.asarray(canvas), jnp.asarray(sizes), IMG, jnp.float32)
+    state_b, mb = T.yolo_train_step(
+        state_b, images, b["gt_boxes"], b["gt_labels"], b["gt_valid"],
+        CFG, NUM_CLASSES)
+    assert np.isfinite(float(ma["loss"]))
+    np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]),
+                               rtol=1e-5)
+    # params actually moved
+    d0 = jax.tree_util.tree_leaves(state_a.params)[0]
+    assert int(state_a.step) == 1 and np.isfinite(np.asarray(d0)).all()
+
+
+def test_train_step_ingest_multiscale_bucket():
+    """Multiscale bucket: same canvas, different target size —
+    the resize happens in-jit to the bucket's resolution."""
+    rng = np.random.RandomState(4)
+    bs, cs = 2, IMG
+    canvas = rng.randint(0, 255, (bs, cs, cs, 3), np.uint8)
+    sizes = np.asarray([[48, 64], [64, 32]], np.int32)
+    b = _batch(bs)
+    state = _make_state()
+    cfg96 = YC.YoloLossConfig(num_classes=NUM_CLASSES, img_size=96)
+    state, m = T.yolo_train_step_ingest(
+        state, jnp.asarray(canvas), jnp.asarray(sizes), b["gt_boxes"],
+        b["gt_labels"], b["gt_valid"], cfg96, NUM_CLASSES)
+    assert np.isfinite(float(m["loss"]))
