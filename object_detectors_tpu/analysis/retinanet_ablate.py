@@ -67,7 +67,24 @@ def build_stages(size, dtype, num_classes=91):
             cls, reg, anchors, tuple(level_sizes), (size, size), cfg)
         return jnp.sum(out[0]) + jnp.sum(out[1])
 
-    return {"backbone": backbone_only, "head": plus_head, "full": full}
+    def post_stage(debug):
+        def fn(images):
+            cls, reg, level_sizes = model.apply(variables, images,
+                                                train=False)
+            out = RN._retinanet_postprocess(
+                cls, reg, anchors, tuple(level_sizes), (size, size),
+                cfg, 1.0, 1.0, debug=debug)
+            return (jnp.sum(out[0].astype(jnp.float32))
+                    + jnp.sum(out[1].astype(jnp.float32)))
+        return fn
+
+    # post_* are cumulative truncations INSIDE the postprocess
+    # (selection -> +gathers/decode -> +cap -> full adds NMS)
+    return {"backbone": backbone_only, "head": plus_head,
+            "post_select": post_stage("select"),
+            "post_decode": post_stage("decode"),
+            "post_cap": post_stage("cap"),
+            "full": full}
 
 
 def time_fn(fn, images, warmup=2, iters=12):

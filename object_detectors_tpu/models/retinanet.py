@@ -293,11 +293,16 @@ def retinanet_postprocess(
 
 
 @partial(jax.jit, static_argnames=("cfg", "level_sizes", "image_size",
-                                   "static_tfidf"))
+                                   "static_tfidf", "debug"))
 def _retinanet_postprocess(
     cls_logits, bbox_reg, anchors, level_sizes, image_size,
     cfg: RetinaNetConfig, tfidf_post, static_tfidf: float | None,
+    debug: str = "full",
 ):
+    """``debug`` truncates the pipeline for stage attribution in
+    analysis/retinanet_ablate.py: "select" stops after the per-level
+    top-k (no gathers/decode), "decode" after box decode+clip, "cap"
+    after the pre-NMS candidate cap, "full" (default) runs NMS."""
     k = cls_logits.shape[-1]
 
     # With a scalar tfidf the sigmoid is monotonic per element, so the
@@ -356,6 +361,12 @@ def _retinanet_postprocess(
                 keep = scores > cfg.score_thresh
                 masked = jnp.where(keep, scores, ninf)
                 topv, topi = SEL.radix_topk(masked, topk)
+            if debug == "select":
+                lvl_scores.append(jnp.where(jnp.isfinite(topv), topv,
+                                            0.0))
+                lvl_valid.append(jnp.isfinite(topv))
+                start += ls
+                continue
             anchor_idx = topi // k
             label = (topi % k).astype(jnp.int32)
             b = box_ops.decode_boxes(rg[anchor_idx].astype(jnp.float32),
@@ -366,10 +377,17 @@ def _retinanet_postprocess(
             lvl_labels.append(label)
             lvl_valid.append(jnp.isfinite(topv))
             start += ls
+        if debug == "select":
+            return (jnp.concatenate(lvl_scores, 0),
+                    jnp.concatenate(lvl_scores, 0),
+                    jnp.concatenate(lvl_valid, 0).astype(jnp.int32),
+                    jnp.concatenate(lvl_valid, 0))
         boxes = jnp.concatenate(lvl_boxes, 0)
         scores = jnp.concatenate(lvl_scores, 0)
         labels = jnp.concatenate(lvl_labels, 0)
         valid = jnp.concatenate(lvl_valid, 0)
+        if debug == "decode":
+            return boxes, scores, labels, valid
         if cfg.pre_nms_candidates and \
                 cfg.pre_nms_candidates < boxes.shape[0]:
             _, keep = SEL.radix_topk(
@@ -377,6 +395,8 @@ def _retinanet_postprocess(
                 cfg.pre_nms_candidates)
             boxes, scores, labels, valid = (
                 boxes[keep], scores[keep], labels[keep], valid[keep])
+        if debug == "cap":
+            return boxes, scores, labels, valid
         ob, osc, olab, _, ovalid = N.batched_nms(
             boxes, scores, labels, cfg.nms_thresh,
             cfg.detections_per_img, valid)
