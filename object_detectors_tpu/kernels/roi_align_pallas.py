@@ -84,7 +84,7 @@ def _axis_sample(k, origin, bin_sz, limit, srat):
 
 def _roi_align_kernel(wins_ref, geom_ref, canvas_ref, out_ref,
                       win_buf, sems, *, n_rois, c, oh, ow, srat,
-                      debug="full", fold="rows"):
+                      debug="full", fold="rows", nslots=NSLOTS):
     """One grid step = KROI RoIs. wins_ref [N*3] i32 SMEM (canvas window
     row, 8-aligned window col, tier index into TIERS: 0=big 1=mid
     2=small 3=tall 4=wide); geom_ref [N*8] f32
@@ -102,7 +102,7 @@ def _roi_align_kernel(wins_ref, geom_ref, canvas_ref, out_ref,
     that dominated the per-RoI kernel (measured ~0.8 us/step against a
     ~0.24 us small-window DMA floor)."""
     n = pl.program_id(0)               # group index
-    slot = jax.lax.rem(n, NSLOTS)
+    slot = jax.lax.rem(n, nslots)
     n_groups = n_rois // KROI
 
     def dma(i, s, j):
@@ -147,12 +147,12 @@ def _roi_align_kernel(wins_ref, geom_ref, canvas_ref, out_ref,
     if debug != "compute_only":
         @pl.when(n == 0)
         def _():
-            for g in range(min(NSLOTS - 1, n_groups)):
-                start(g, g % NSLOTS)
+            for g in range(min(nslots - 1, n_groups)):
+                start(g, g % nslots)
 
-        @pl.when(n + NSLOTS - 1 < n_groups)
+        @pl.when(n + nslots - 1 < n_groups)
         def _():
-            start(n + NSLOTS - 1, jax.lax.rem(n + NSLOTS - 1, NSLOTS))
+            start(n + nslots - 1, jax.lax.rem(n + nslots - 1, nslots))
 
         wait(n, slot)
 
@@ -403,6 +403,11 @@ def multiscale_roi_align_pallas(
             wins, jnp.tile(jnp.asarray([0, 0, 2], wins.dtype), n_pad)])
         geom = jnp.concatenate([geom, jnp.zeros((8 * n_pad,), geom.dtype)])
     n_total = n_rois + n_pad
+    # pipeline depth scales with dtype: the f32 train-path canvas
+    # (Mask/Keypoint R-CNN train steps pool f32 features) doubles the
+    # slot footprint — 6 x 48x56x256 f32 = 16.5 MB would overflow the
+    # 16 MB scoped-VMEM stack (observed at maskrcnn train compile).
+    nslots = NSLOTS if canvas.dtype.itemsize <= 2 else NSLOTS // 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_total // KROI,),
@@ -410,13 +415,13 @@ def multiscale_roi_align_pallas(
         out_specs=pl.BlockSpec(
             (KROI, oh, ow, c), lambda i, *_: (i, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((NSLOTS, KROI, BUF_ROWS, BUF_COLS, c),
+            pltpu.VMEM((nslots, KROI, BUF_ROWS, BUF_COLS, c),
                        canvas.dtype),
-            pltpu.SemaphoreType.DMA((NSLOTS, KROI)),
+            pltpu.SemaphoreType.DMA((nslots, KROI)),
         ],
     )
     kernel = partial(_roi_align_kernel, n_rois=n_total, c=c, oh=oh, ow=ow,
-                     srat=s, debug=debug, fold=fold)
+                     srat=s, debug=debug, fold=fold, nslots=nslots)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_total, oh, ow, c),

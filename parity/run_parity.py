@@ -629,6 +629,98 @@ def keypoint_parity():
     return res
 
 
+def keypoint_trained_parity():
+    """Trained-weight keypoint-branch parity (VERDICT r3 item 3): load
+    the synthetic-trained Keypoint R-CNN artifact
+    (analysis/make_artifacts.train_keypointrcnn), run OUR full model on
+    a rendered image from its training family, then decode the TRAINED
+    heatmaps of its detections with both our
+    ``heatmaps_to_keypoints_exact`` and the reference's
+    ``heatmaps_to_keypoints`` (`tvision/roi_heads.py:186-328`) on the
+    same (heatmap, box) pairs. Trained heads give separated, peaked
+    heatmaps — the decode comparison is non-tied, unlike the
+    random-logit rows in :func:`keypoint_parity` (which plant peaks
+    artificially)."""
+    sys.path.insert(0, "/root/reference/torchvision_models")
+    from tvision import roi_heads as ref_rh
+
+    import jax as _jax
+    import jax.numpy as _jnp
+    from flax import serialization
+
+    from object_detectors_tpu.models import keypoint_rcnn as KR
+
+    art = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "artifacts",
+        "synthetic_kprcnn.msgpack")
+    if not os.path.exists(art):
+        return {"skipped": "artifact missing (run make_artifacts "
+                           "--kprcnn first)"}
+    size = 96
+    model = KR.KeypointRCNN(KR.KeypointRCNNConfig())
+    tmpl = model.init({"params": _jax.random.key(0),
+                       "sampler": _jax.random.key(1)},
+                      _jnp.zeros((1, 64, 64, 3)), train=False)
+    with open(art, "rb") as f:
+        restored = serialization.from_bytes(
+            {"params": tmpl["params"]}, f.read())
+    variables = {"params": restored["params"], "frozen": tmpl["frozen"]}
+
+    # a rendered image from the training family (person-only set)
+    from object_detectors_tpu.data import synthetic as SYN
+
+    gt = SYN.make_coco_dicts(np.random.RandomState(5), 2, size, 1,
+                             with_keypoints=True)
+    img = (SYN.render_image(gt, gt["images"][0]["id"])
+           .astype(np.float32) / 255.0)
+    xj = jnp.asarray(_normalized(img))[None]
+
+    boxes, scores, labels, valid, kps, kp_scores = model.apply(
+        variables, xj, train=False)
+    nv = int(np.asarray(valid[0]).sum())
+    res = {"detections": nv,
+           "top_score": float(np.asarray(scores[0]).max())}
+    if nv == 0:
+        res["skipped"] = "trained model produced no detections"
+        return res
+
+    # re-derive the trained heatmaps for those detection boxes via the
+    # bound submodules (the eval path returns only decoded keypoints)
+    bound = model.bind(variables)
+    feats = bound.backbone(xj, False)
+    kp_logits = bound._kp_branch(feats, boxes, size, size, 1)
+
+    d = kp_logits.shape[1]
+    maps_np = np.asarray(kp_logits[0]).transpose(0, 3, 1, 2)  # [D,K,h,h]
+    rois_np = np.asarray(boxes[0]).astype(np.float32)
+    ref_xy, ref_sc = ref_rh.heatmaps_to_keypoints(
+        torch.from_numpy(maps_np), torch.from_numpy(rois_np))
+    ex_xy, ex_sc = KR.heatmaps_to_keypoints_exact(kp_logits, boxes)
+    ex_xy = np.asarray(ex_xy)[0, :, :, :2]
+    vmask = np.asarray(valid[0]).astype(bool)
+
+    ww = np.maximum(rois_np[:, 2] - rois_np[:, 0], 1)[:, None]
+    hh = np.maximum(rois_np[:, 3] - rois_np[:, 1], 1)[:, None]
+    gw, gh = np.ceil(ww), np.ceil(hh)
+    rxy = ref_xy.numpy()
+    ref_cx = np.floor((rxy[:, :, 0] - rois_np[:, 0:1]) / ww * gw)
+    ref_cy = np.floor((rxy[:, :, 1] - rois_np[:, 1:2]) / hh * gh)
+    our_cx = np.floor((ex_xy[:, :, 0] - rois_np[:, 0:1]) / ww * gw)
+    our_cy = np.floor((ex_xy[:, :, 1] - rois_np[:, 1:2]) / hh * gh)
+    mm = ((ref_cx != our_cx) | (ref_cy != our_cy)) & vmask[:, None]
+    dist = np.linalg.norm(ex_xy - rxy[:, :, :2], axis=-1) * vmask[:, None]
+    res.update({
+        "keypoints_compared": int(vmask.sum()) * maps_np.shape[1],
+        "trained_argmax_cell_mismatches": int(mm.sum()),
+        "trained_worst_dist_px": float(dist.max()),
+        "trained_score_rel": float(
+            (np.abs(np.asarray(ex_sc)[0] - ref_sc.numpy())
+             * vmask[:, None]).max()
+            / max(np.abs(ref_sc.numpy()).max(), 1e-9)),
+    })
+    return res
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     runs = {}
@@ -649,6 +741,8 @@ def main():
         runs["ssd300_vgg16"] = ssd_parity()
     if which in ("keypoint", "all"):
         runs["keypoint_branch"] = keypoint_parity()
+    if which in ("keypoint_trained",):
+        runs["keypoint_trained"] = keypoint_trained_parity()
     print(json.dumps(runs, indent=2, default=float))
     path = os.path.join(os.path.dirname(__file__),
                         "parity_results.json")
