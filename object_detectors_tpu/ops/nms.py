@@ -297,6 +297,8 @@ def batched_nms(
     max_output: int = 100,
     valid: jnp.ndarray | None = None,
     method: str = "auto",
+    fp_chunk: int = 256,
+    fp_unroll: int = 2,
 ):
     """Class-aware NMS via the coordinate-offset trick
     (torchvision.ops.batched_nms semantics — boxes of different classes are
@@ -306,7 +308,8 @@ def batched_nms(
     offsets = class_ids.astype(boxes.dtype)[:, None] * (max_coord + 1.0)
     shifted = boxes + offsets
     ob, osc, keep_idx, ovalid = nms(
-        shifted, scores, iou_threshold, max_output, valid, method)
+        shifted, scores, iou_threshold, max_output, valid, method,
+        fp_chunk=fp_chunk, fp_unroll=fp_unroll)
     # Return original (un-shifted) boxes and the surviving labels.
     idx_c = jnp.clip(keep_idx, 0)
     out_boxes = jnp.where(ovalid[:, None], boxes[idx_c], 0.0)

@@ -75,16 +75,35 @@ def _to_code(x: jnp.ndarray):
 
 def _kth_code(code: jnp.ndarray, k: int, nbits: int):
     """Exact k-th largest code: the maximum t with count(code >= t) >= k,
-    built bit-by-bit from the MSB (nbits compare+reduce passes)."""
+    built TWO bits per iteration from the MSB (nbits/2 fori_loop trips).
+
+    Each trip tests the three candidate extensions t|11, t|10, t|01 of
+    the current prefix in one fused data pass (three compare+sum
+    reductions over the same operand) and keeps the largest whose
+    count still reaches k — exactly the maximal 2-bit extension, so the
+    result equals the bit-by-bit search. Halving the sequential trip
+    count matters more than the 3x reduction count: every radix_topk on
+    the hot paths (RPN filter, RetinaNet postprocess, YOLO decode) pays
+    this loop's latency, not its bandwidth."""
     zero = jnp.zeros((), code.dtype)
     one = jnp.ones((), code.dtype)
+    assert nbits % 2 == 0, nbits
 
     def body(i, t):
-        cand = t | (one << (nbits - 1 - i).astype(code.dtype))
-        cnt = jnp.sum((code >= cand).astype(jnp.int32))
-        return jnp.where(cnt >= k, cand, t)
+        shift = (nbits - 2 - 2 * i).astype(code.dtype)
+        b1 = one << (shift + 1)
+        b0 = one << shift
+        c3 = t | b1 | b0
+        c2 = t | b1
+        c1 = t | b0
+        n3 = jnp.sum((code >= c3).astype(jnp.int32))
+        n2 = jnp.sum((code >= c2).astype(jnp.int32))
+        n1 = jnp.sum((code >= c1).astype(jnp.int32))
+        return jnp.where(
+            n3 >= k, c3, jnp.where(n2 >= k, c2,
+                                   jnp.where(n1 >= k, c1, t)))
 
-    return jax.lax.fori_loop(0, nbits, body, zero)
+    return jax.lax.fori_loop(0, nbits // 2, body, zero)
 
 
 @partial(jax.jit, static_argnames=("k", "lanes"))

@@ -1,10 +1,11 @@
 #!/bin/bash
-# Round-4 queue C — post-artifact decision measurements:
-#  * retinanet postprocess INTERNAL budget (select/decode/cap/nms)
-#  * frcnn marginal pooler/filter cost (leave-one-out, not prefix)
-#  * train-step fwd/bwd budget (VERDICT item 4)
-#  * frcnn640/retinanet640 after the NMS unroll=2 change
-# Waits for the chip (artifact trainer registers chip_measure.pid).
+# Round-4 queue C (trimmed for remaining wall clock) — decision
+# measurements in value order:
+#  1. retinanet postprocess INTERNAL budget (select/decode/cap/nms)
+#  2. train-step fwd/bwd budget (VERDICT item 4)
+#  3. frcnn marginal pooler/filter cost (leave-one-out)
+#  4. pooler variant decomposition (bands dma vs compute, mm2)
+# Waits for the chip (artifact trainer holds chip_measure.pid).
 set -u
 cd /root/repo
 LOG=/tmp/queue_r4c.log
@@ -25,18 +26,16 @@ run() {
 run "retinanet ablate bs16 post-detail" \
   python -m object_detectors_tpu.analysis.retinanet_ablate --bs 16
 
+run "train ablate bs16" \
+  python -m object_detectors_tpu.analysis.train_ablate --bs 16
+
 run "frcnn marginal stages bs16" \
   python -m object_detectors_tpu.analysis.frcnn_ablate --bs 16 \
   --stages full full_no_pooler full_no_filter
 
-run "train ablate bs16" \
-  python -m object_detectors_tpu.analysis.train_ablate --bs 16
-
-run "bench frcnn+retinanet after unroll" python - <<'EOF'
-import bench
-print("retinanet bs16:", bench.run_retinanet(bs=16))
-print("frcnn bs16:", bench.run_frcnn(bs=16))
-EOF
+run "roialign variant budget" \
+  python -m object_detectors_tpu.analysis.roialign_bench \
+  --variants noop pallas pallas_mm2 bands bands_dma bands_compute
 
 rm -f /tmp/chip_measure.pid
 echo "=== done $(date) ===" >> "$LOG"
