@@ -380,12 +380,41 @@ def _pool_pallas_fwd(features, boxes, image_size, output_size,
 
 def _pool_pallas_bwd(image_size, output_size, sampling_ratio, interpret,
                      mode, res, g):
+    """Backward = canvas-formulation VJP, CHUNKED over the RoI dim.
+
+    The canvas VJP materializes a [B, N, oh, ow, s, s, 2, 2, C] tap
+    outer-product temp — at Mask R-CNN train shapes (512 RoIs, 14x14
+    pool) that is 6.1 GB and the whole-N backward OOMed 15.75 GB of
+    HBM (31.6 GB requested). Per-RoI contributions to the feature
+    cotangent are additive, so a lax.scan over 64-RoI chunks bounds the
+    temp at ~0.8 GB; feature grads accumulate in f32."""
     features, boxes = res
-    primal, vjp = jax.vjp(
-        lambda fs, bx: _pool_canvas_batched(
-            fs, bx, image_size, output_size, sampling_ratio),
-        features, boxes)
-    return vjp(g.astype(primal.dtype))
+    b, n = boxes.shape[:2]
+    chunk = min(n, 64)
+    pad = -n % chunk
+    bp = jnp.pad(boxes, ((0, 0), (0, pad), (0, 0)))
+    gp = jnp.pad(g, ((0, 0), (0, pad)) + ((0, 0),) * (g.ndim - 2))
+    nck = (n + pad) // chunk
+    bs_ = jnp.moveaxis(bp.reshape(b, nck, chunk, 4), 1, 0)
+    gs_ = jnp.moveaxis(
+        gp.reshape((b, nck, chunk) + g.shape[2:]), 1, 0)
+
+    def step(fbar, inp):
+        bx, gc = inp
+        primal, vjp = jax.vjp(
+            lambda fs, bxx: _pool_canvas_batched(
+                fs, bxx, image_size, output_size, sampling_ratio),
+            features, bx)
+        df, db = vjp(gc.astype(primal.dtype))
+        fbar = tuple(a + d.astype(jnp.float32)
+                     for a, d in zip(fbar, df))
+        return fbar, db
+
+    f0 = tuple(jnp.zeros(f.shape, jnp.float32) for f in features)
+    fbar, dbs = jax.lax.scan(step, f0, (bs_, gs_))
+    df = tuple(a.astype(f.dtype) for a, f in zip(fbar, features))
+    db = jnp.moveaxis(dbs, 0, 1).reshape(b, n + pad, 4)[:, :n]
+    return df, db
 
 
 _pool_pallas.defvjp(_pool_pallas_fwd, _pool_pallas_bwd)
