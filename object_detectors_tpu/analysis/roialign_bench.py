@@ -123,6 +123,35 @@ def main():
         return jnp.sum(multiscale_roi_align_hybrid(fs, bx, img, (7, 7),
                                                    mode="bands"))
 
+    from object_detectors_tpu.kernels.roi_align_pallas import (
+        multiscale_roi_align_bands_grouped,
+    )
+
+    def grouped_fn(debug="full", fold="quad"):
+        def f(fs, bx):
+            return jnp.sum(multiscale_roi_align_bands_grouped(
+                fs, bx, img, (7, 7), debug=debug, fold=fold))
+        return f
+
+    def hybrid_grouped(fs, bx):
+        return jnp.sum(multiscale_roi_align_hybrid(
+            fs, bx, img, (7, 7), mode="bands_grouped"))
+
+    from object_detectors_tpu.kernels.roi_align_pallas import (
+        _prep_bands, _prep_bands_grouped,
+    )
+
+    def prep_fn(prep):
+        # prep cost alone (canvas concat + sorts + descriptor
+        # scatters): every kernel variant pays this inside its jit, so
+        # kernel-side dma/compute numbers are (variant - prep).
+        def f(fs, bx):
+            outs = prep(tuple(fs), bx, img, 7, 7, 2)
+            return sum(jnp.sum(o[..., :1].astype(jnp.float32))
+                       for o in outs if o.ndim > 0) + jnp.sum(
+                           outs[0][0, 0].astype(jnp.float32))
+        return f
+
     variants = {
         "noop": noop,
         "flat": run_variant(R.multiscale_roi_align_flat),
@@ -140,6 +169,13 @@ def main():
         "bands_dma": bands_fn(debug="dma_only"),
         "bands_compute": bands_fn(debug="compute_only"),
         "hybrid_bands": hybrid_bands,
+        "grouped": grouped_fn(),
+        "grouped_rows": grouped_fn(fold="rows"),
+        "grouped_dma": grouped_fn(debug="dma_only"),
+        "grouped_compute": grouped_fn(debug="compute_only"),
+        "hybrid_grouped": hybrid_grouped,
+        "prep_bands": prep_fn(_prep_bands),
+        "prep_grouped": prep_fn(_prep_bands_grouped),
     }
     for name, fn in variants.items():
         if args.variants and name not in args.variants:

@@ -880,6 +880,308 @@ def multiscale_roi_align_bands(
     return pooled
 
 
+GROUP = 8     # RoIs per grid step in the grouped-bands kernel
+NSPLIT = 4    # parallel sub-copies per band DMA (a single in-flight
+              # copy measured ~72 GB/s — far under HBM peak; splitting
+              # each band into 4 row stripes keeps 4 DMA streams hot
+              # without growing the 2-slot VMEM footprint)
+SUBR = BAND_R // NSPLIT
+
+
+def _band_group_kernel(gdesc_ref, rdesc_ref, geom_ref, canvas_ref,
+                       out_ref, band_buf, sems, *, c, oh, ow, srat,
+                       band_w, debug="full", fold="rows",
+                       g_rois=GROUP):
+    """One grid step = GROUP RoIs of ONE band (prep pads each band's
+    RoI list to a multiple of GROUP, so steps never straddle bands).
+
+    Two measured floors of the per-RoI band kernel motivate this
+    variant: (1) ~0.7 us Mosaic grid-step overhead — grouping
+    amortizes it 8x; (2) band DMA at ~72 GB/s because only one copy is
+    ever in flight — each band copy is split into NSPLIT parallel row
+    stripes. Compute per RoI is the band kernel's rows fold;
+    ``fold='quad'`` replaces the 4 per-tap dynamic row reads of each
+    output row with ONE [4, tw, C] slice (the srat=2 taps of a row
+    span <= 4 window rows because the FPN mapper bounds bins to <= 4
+    cells) and folds with 4 scalar weights — 7 dynamic reads per RoI
+    instead of 28.
+
+    gdesc [NG*5] i32 SMEM: (band_row, slot, first, start_next,
+    next_band_row) per GROUP. rdesc [NP*3] i32 SMEM: (tier,
+    wcol_8aligned, row_off_in_band) per RoI. geom [NP*8] f32 SMEM:
+    identical layout to :func:`_prep` (y1, x1, bin_h, bin_w, H_l, W_l,
+    win_row_level, win_col_level)."""
+    g = pl.program_id(0)
+    trow = gdesc_ref[5 * g]
+    slot = gdesc_ref[5 * g + 1]
+    first = gdesc_ref[5 * g + 2] > 0
+    startn = gdesc_ref[5 * g + 3] > 0
+    nrow = gdesc_ref[5 * g + 4]
+
+    def copies(r, s_):
+        return [pltpu.make_async_copy(
+            canvas_ref.at[pl.ds(r + k * SUBR, SUBR),
+                          pl.ds(0, band_w), :],
+            band_buf.at[s_, pl.ds(k * SUBR, SUBR)], sems.at[s_, k])
+            for k in range(NSPLIT)]
+
+    if debug != "compute_only":
+        @pl.when(first & (g == 0))
+        def _():
+            for cp in copies(trow, slot):
+                cp.start()
+
+        @pl.when(first)
+        def _():
+            for cp in copies(trow, slot):
+                cp.wait()
+
+        @pl.when(startn)
+        def _():
+            for cp in copies(nrow, 1 - slot):
+                cp.start()
+
+    if debug == "dma_only":
+        out_ref[...] = jnp.zeros((g_rois, oh, ow, c), out_ref.dtype)
+        return
+
+    for j in range(g_rois):
+        i = g * g_rois + j
+        tier = rdesc_ref[3 * i]
+        wcol = pl.multiple_of(rdesc_ref[3 * i + 1], 8)
+        roff = rdesc_ref[3 * i + 2]
+        y1 = geom_ref[8 * i]
+        x1 = geom_ref[8 * i + 1]
+        bin_h = geom_ref[8 * i + 2]
+        bin_w = geom_ref[8 * i + 3]
+        hl = geom_ref[8 * i + 4]
+        wl = geom_ref[8 * i + 5]
+        rbase = geom_ref[8 * i + 6]
+        cbase = geom_ref[8 * i + 7]
+
+        def row_taps(irow):
+            return [_axis_sample(irow * srat + r, y1, bin_h, hl, srat)
+                    for r in range(srat)]
+
+        groups = {}
+        for t, (_, twd) in enumerate(TIERS):
+            groups.setdefault(twd, []).append(t)
+
+        for twd, tiers in groups.items():
+            pred = tier == tiers[0]
+            for t in tiers[1:]:
+                pred = pred | (tier == t)
+
+            @pl.when(pred)
+            def _(tw=twd, j=j):
+                inv = 1.0 / (srat * srat)
+                xs = jax.lax.broadcasted_iota(
+                    jnp.int32, (ow, tw), 1).astype(jnp.float32)
+                js = jax.lax.broadcasted_iota(
+                    jnp.int32, (ow, tw), 0).astype(jnp.float32)
+                wx = jnp.zeros((ow, tw), jnp.float32)
+                for r in range(srat):
+                    frac = (r + 0.5) / srat
+                    pos = x1 + (js + frac) * bin_w
+                    inside = jnp.where((pos >= -1.0) & (pos <= wl),
+                                       1.0, 0.0)
+                    p = jnp.clip(pos, 0.0, wl - 1.0)
+                    a_abs = jnp.floor(p)
+                    fr = p - a_abs
+                    b_abs = jnp.minimum(a_abs + 1.0, wl - 1.0)
+                    a_rel = jnp.clip(a_abs - cbase, 0.0, float(tw - 1))
+                    b_rel = jnp.clip(b_abs - cbase, 0.0, float(tw - 1))
+                    wx = (wx + (1.0 - fr) * inside * (xs == a_rel)
+                          + fr * inside * (xs == b_rel))
+                wx = wx * inv
+
+                for irow in range(oh):
+                    taps = row_taps(irow)
+                    if fold == "quad":
+                        # all srat*2 taps of one output row live in 8
+                        # consecutive window rows starting at the first
+                        # tap's floor (worst tier: tall, span_y <= 46
+                        # cells -> bin_h <= 6.6 -> 6 tap rows): one
+                        # [8, tw, C] read + 8 scalar-weighted FMAs
+                        # replaces the 4 dynamic per-tap row reads.
+                        a0 = taps[0][0]            # smallest tap row
+                        base0 = (a0 - rbase).astype(jnp.int32) + roff
+                        base_in_band = jnp.minimum(base0, BAND_R - 8)
+                        # window-fit guarantees every tap lands within
+                        # [base_in_band, base_in_band+8) even when the
+                        # read is clamped at the band edge (taps <=
+                        # BAND_R-1 and span <= 7 - shift).
+                        sh = base0 - base_in_band
+                        oct_ = band_buf[
+                            slot, pl.ds(base_in_band, 8),
+                            pl.ds(wcol, tw)].astype(jnp.float32)
+                        rows = jnp.zeros((tw, c), jnp.float32)
+                        for rr in range(8):
+                            wgt = jnp.float32(0.0)
+                            for (ya, yb, wa, wb) in taps:
+                                da = (ya - a0).astype(jnp.int32) + sh
+                                db = (yb - a0).astype(jnp.int32) + sh
+                                wgt = (wgt
+                                       + jnp.where(da == rr, wa, 0.0)
+                                       + jnp.where(db == rr, wb, 0.0))
+                            rows = rows + oct_[rr] * wgt
+                    else:
+                        rows = jnp.zeros((tw, c), jnp.float32)
+                        for (ya, yb, wa, wb) in taps:
+                            ra = jnp.clip(
+                                (ya - rbase).astype(jnp.int32) + roff,
+                                0, BAND_R - 1)
+                            rb = jnp.clip(
+                                (yb - rbase).astype(jnp.int32) + roff,
+                                0, BAND_R - 1)
+                            rows = (rows
+                                    + band_buf[slot, ra,
+                                               pl.ds(wcol, tw)]
+                                    .astype(jnp.float32) * wa
+                                    + band_buf[slot, rb,
+                                               pl.ds(wcol, tw)]
+                                    .astype(jnp.float32) * wb)
+                    out_ref[j, irow] = jnp.dot(
+                        wx, rows, preferred_element_type=jnp.float32
+                    ).astype(out_ref.dtype)
+
+
+def _prep_bands_grouped(features, boxes, image_size, oh, ow, s,
+                        g_rois=GROUP):
+    """Grouped-band descriptors: RoIs sort by 64-row canvas band
+    (stride 32; 16 for the tall tier), each band's run is padded to a
+    multiple of ``g_rois`` so every grid step lives in one band, and
+    per-GROUP descriptors carry the DMA bookkeeping.
+
+    Returns (canvas, gdesc, rdesc, geom, dest_of_orig, ovr)."""
+    prep = _prep(features, boxes, image_size, oh, ow, s)
+    canvas, wins, geom, ovr = prep
+    n = ovr.shape[0]
+    wins2 = wins.reshape(n, 3)
+    geom2 = geom.reshape(n, 8)
+    crow = wins2[:, 0]
+    wcol = wins2[:, 1]
+    tier = wins2[:, 2]
+
+    pad_w = -canvas.shape[1] % 8
+    canvas = jnp.pad(canvas, ((0, BAND_R - BUF_ROWS), (0, pad_w),
+                              (0, 0)))
+    rtot = canvas.shape[0]
+
+    # overflow RoIs are repooled exactly by the hybrid fix-up — park
+    # them in band 0 so they don't mint extra bands.
+    crow0 = jnp.where(ovr, 0, crow)
+    sr = jnp.where(tier == 3, 16, 32)
+    trow = jnp.minimum(crow0 // sr * sr, rtot - BAND_R)
+    roff = crow0 - trow                     # window start within band
+
+    perm = jnp.argsort(trow)                # band-sorted RoIs
+    ks = trow[perm]
+
+    # band "slot" index on the static 16-row grid (trow is always a
+    # multiple of 16) bounds the number of distinct bands.
+    nbs = rtot // 16 + 1
+    bslot = ks // 16                                        # [n]
+    counts = jnp.zeros((nbs,), jnp.int32).at[bslot].add(1)
+    padded = (counts + g_rois - 1) // g_rois * g_rois
+    starts = jnp.cumsum(padded) - padded                    # exclusive
+    bstart = jnp.full((nbs,), n, jnp.int32).at[bslot].min(
+        jnp.arange(n, dtype=jnp.int32))     # first sorted pos per band
+    dest = starts[bslot] + (jnp.arange(n, dtype=jnp.int32)
+                            - bstart[bslot])                # [n]
+
+    np_total = (n + nbs * (g_rois - 1) + g_rois - 1) // g_rois * g_rois
+    ng = np_total // g_rois
+
+    # per-RoI fields at padded positions (holes: tier 0 window at
+    # (0, 0) of the resident band — finite garbage, sliced off below)
+    rdesc = jnp.zeros((np_total, 3), jnp.int32).at[dest].set(
+        jnp.stack([tier, wcol, roff], -1)[perm].astype(jnp.int32))
+    geom_p = jnp.zeros((np_total, 8), geom2.dtype).at[dest].set(
+        geom2[perm])
+
+    # per-GROUP band bookkeeping (holes contribute -1 and drop out of
+    # the max; fully-empty tail groups get first=0 -> no DMA)
+    pos_trow = jnp.full((np_total,), -1, jnp.int32).at[dest].set(
+        ks.astype(jnp.int32))
+    g_trow = jnp.max(pos_trow.reshape(ng, g_rois), axis=1)
+    g_valid = g_trow >= 0
+    g_first = jnp.concatenate([
+        g_valid[:1],
+        (g_trow[1:] != g_trow[:-1]) & g_valid[1:]])
+    dix = jnp.cumsum(g_first.astype(jnp.int32)) - 1
+    slot = jnp.maximum(dix, 0) % 2
+    fpg = jnp.zeros((ng,), jnp.int32).at[
+        jnp.where(g_first, dix, ng)].set(
+            jnp.arange(ng, dtype=jnp.int32), mode="drop")
+    has_next = dix < dix[-1]
+    npos = fpg[jnp.clip(dix + 1, 0, ng - 1)]
+    g_trow0 = jnp.maximum(g_trow, 0)
+    gdesc = jnp.stack([
+        g_trow0, slot, g_first.astype(jnp.int32),
+        (g_first & has_next).astype(jnp.int32), g_trow0[npos],
+    ], axis=-1).astype(jnp.int32).reshape(-1)
+
+    dest_of_orig = jnp.zeros((n,), jnp.int32).at[perm].set(dest)
+    return (canvas, gdesc, rdesc.reshape(-1), geom_p.reshape(-1),
+            dest_of_orig, ovr)
+
+
+@partial(jax.jit, static_argnames=("output_size", "sampling_ratio",
+                                   "image_size", "interpret", "debug",
+                                   "fold", "return_overflow"))
+def multiscale_roi_align_bands_grouped(
+    features: Sequence[jnp.ndarray],   # per level [B, H_l, W_l, C]
+    boxes: jnp.ndarray,                # [B, N, 4] xyxy image coords
+    image_size: tuple,
+    output_size: tuple = (7, 7),
+    sampling_ratio: int = 2,
+    interpret: bool = False,
+    prep=None,
+    debug: str = "full",
+    fold: str = "rows",
+    return_overflow: bool = False,
+) -> jnp.ndarray:
+    """Grouped band-sorted pooler: -> [B, N, oh, ow, C]. Same coverage
+    and overflow semantics as :func:`multiscale_roi_align_bands`
+    (route through the hybrid for exact extreme-aspect handling)."""
+    bsz, n = boxes.shape[:2]
+    c = features[0].shape[-1]
+    oh, ow = output_size
+    if prep is None:
+        prep = _prep_bands_grouped(features, boxes, image_size, oh, ow,
+                                   sampling_ratio)
+    canvas, gdesc, rdesc, geom_p, dest_of_orig, ovr = prep
+    band_w = canvas.shape[1]
+    np_total = rdesc.shape[0] // 3
+    ng = np_total // GROUP
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(ng,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (GROUP, oh, ow, c), lambda i, *_: (i, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, BAND_R, band_w, c), canvas.dtype),
+            pltpu.SemaphoreType.DMA((2, NSPLIT)),
+        ],
+    )
+    kernel = partial(_band_group_kernel, c=c, oh=oh, ow=ow,
+                     srat=sampling_ratio, band_w=band_w, debug=debug,
+                     fold=fold)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((np_total, oh, ow, c),
+                                       canvas.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(gdesc, rdesc, geom_p, canvas)
+    pooled = out[dest_of_orig].reshape(bsz, n, oh, ow, c)
+    if return_overflow:
+        return pooled, ovr.reshape(bsz, n)
+    return pooled
+
+
 def bands_fit_vmem(features, budget_bytes=14 * 2**20):
     """True when the double-buffered full-width band fits VMEM (wide
     canvases — e.g. 1333-px R-CNN inputs — fall back to tiles)."""
@@ -909,9 +1211,16 @@ def multiscale_roi_align_hybrid(
     bsz, n = boxes.shape[:2]
     oh, ow = output_size
     s = sampling_ratio
-    if mode == "bands" and not bands_fit_vmem(features):
+    if (mode in ("bands", "bands_grouped")
+            and not bands_fit_vmem(features)):
         mode = "tiled"  # wide canvas: band buffers would blow VMEM
-    if mode == "bands":
+    if mode == "bands_grouped":
+        prep = _prep_bands_grouped(features, boxes, image_size, oh, ow,
+                                   s)
+        out = multiscale_roi_align_bands_grouped(
+            features, boxes, image_size, output_size, s,
+            interpret=interpret, prep=prep)
+    elif mode == "bands":
         prep = _prep_bands(features, boxes, image_size, oh, ow, s)
         out = multiscale_roi_align_bands(
             features, boxes, image_size, output_size, s,

@@ -315,12 +315,10 @@ def _retinanet_postprocess(
     ninf = -jnp.inf
 
     def per_image(logits, reg):
-        lvl_boxes, lvl_scores, lvl_labels, lvl_valid = [], [], [], []
+        lvl_aidx, lvl_scores, lvl_labels, lvl_valid = [], [], [], []
         start = 0
         for ls in level_sizes:
             lg = jax.lax.dynamic_slice_in_dim(logits, start, ls, 0)
-            rg = jax.lax.dynamic_slice_in_dim(reg, start, ls, 0)
-            an = jax.lax.dynamic_slice_in_dim(anchors, start, ls, 0)
             topk = min(cfg.topk_candidates, ls * k)
             if scalar_tfidf:
                 if static_pos:
@@ -367,14 +365,17 @@ def _retinanet_postprocess(
                 lvl_valid.append(jnp.isfinite(topv))
                 start += ls
                 continue
-            anchor_idx = topi // k
-            label = (topi % k).astype(jnp.int32)
-            b = box_ops.decode_boxes(rg[anchor_idx].astype(jnp.float32),
-                                     an[anchor_idx], cfg.box_weights)
-            b = box_ops.clip_boxes_to_image(b, image_size)
-            lvl_boxes.append(b)
+            # Defer decode to AFTER the global cap: the XLA gather
+            # engine issues ~30 ns/index row, so the old per-level
+            # rg[anchor_idx] + an[anchor_idx] gathers (2 x ~4.1k rows
+            # per image) plus the 4 separate post-cap gathers were the
+            # bulk of the measured 7.3 ms cap stage at bs16. Here each
+            # level emits only (score, label, global anchor id); the
+            # cap gathers ONE packed [*, 4] array and the survivors'
+            # reg+anchor rows are fetched by ONE fused gather.
+            lvl_aidx.append((topi // k + start).astype(jnp.int32))
             lvl_scores.append(jnp.where(jnp.isfinite(topv), topv, 0.0))
-            lvl_labels.append(label)
+            lvl_labels.append((topi % k).astype(jnp.int32))
             lvl_valid.append(jnp.isfinite(topv))
             start += ls
         if debug == "select":
@@ -382,20 +383,38 @@ def _retinanet_postprocess(
                     jnp.concatenate(lvl_scores, 0),
                     jnp.concatenate(lvl_valid, 0).astype(jnp.int32),
                     jnp.concatenate(lvl_valid, 0))
-        boxes = jnp.concatenate(lvl_boxes, 0)
         scores = jnp.concatenate(lvl_scores, 0)
         labels = jnp.concatenate(lvl_labels, 0)
+        aidx = jnp.concatenate(lvl_aidx, 0)
         valid = jnp.concatenate(lvl_valid, 0)
-        if debug == "decode":
-            return boxes, scores, labels, valid
         if cfg.pre_nms_candidates and \
-                cfg.pre_nms_candidates < boxes.shape[0]:
+                cfg.pre_nms_candidates < scores.shape[0]:
+            # one packed gather instead of four (scores/labels/aidx/
+            # valid); ints < 2^24 are exact in f32.
+            pack = jnp.stack([
+                scores.astype(jnp.float32),
+                labels.astype(jnp.float32),
+                aidx.astype(jnp.float32),
+                valid.astype(jnp.float32)], axis=-1)
             _, keep = SEL.radix_topk(
                 jnp.where(valid, scores.astype(jnp.float32), ninf),
                 cfg.pre_nms_candidates)
-            boxes, scores, labels, valid = (
-                boxes[keep], scores[keep], labels[keep], valid[keep])
+            sel = pack[keep]
+            scores = sel[:, 0]
+            labels = sel[:, 1].astype(jnp.int32)
+            aidx = sel[:, 2].astype(jnp.int32)
+            valid = sel[:, 3] > 0.5
         if debug == "cap":
+            return (jnp.zeros(scores.shape + (4,), scores.dtype),
+                    scores, labels, valid)
+        # fused reg+anchor gather of only the capped survivors
+        regan = jnp.concatenate(
+            [reg.astype(jnp.float32), anchors.astype(jnp.float32)], -1)
+        ra = regan[aidx]                              # [Ncap, 8]
+        boxes = box_ops.decode_boxes(ra[:, :4], ra[:, 4:],
+                                     cfg.box_weights)
+        boxes = box_ops.clip_boxes_to_image(boxes, image_size)
+        if debug == "decode":
             return boxes, scores, labels, valid
         ob, osc, olab, _, ovalid = N.batched_nms(
             boxes, scores, labels, cfg.nms_thresh,

@@ -247,3 +247,72 @@ def test_band_pooler_single_roi_and_14x14():
                                      interpret=True)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_grouped_band_pooler_matches_reference():
+    """Grouped band-sorted pooler (GROUP RoIs per grid step, band-run
+    padding, mm2 window compute) must match the XLA pooler exactly on
+    every covered RoI, including tall/wide tiers."""
+    from object_detectors_tpu.kernels.roi_align_pallas import (
+        multiscale_roi_align_bands_grouped,
+    )
+
+    feats, boxes = _setup(seed=17)
+    boxes[..., 2] = np.minimum(boxes[..., 2], boxes[..., 0] + 100)
+    boxes[..., 3] = np.minimum(boxes[..., 3], boxes[..., 1] + 100)
+    boxes[0, :2] = [[5, 5, 40, 200], [10, 10, 200, 40]]
+    bj = jnp.asarray(boxes)
+    ref = jax.vmap(lambda f, bx: multiscale_roi_align_flat(
+        f, bx, (256, 256), (7, 7)))(feats, bj)
+    out = multiscale_roi_align_bands_grouped(
+        feats, bj, (256, 256), (7, 7), interpret=True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_hybrid_grouped_exact_with_extreme_aspects():
+    """hybrid(mode='bands_grouped') repools true-overflow RoIs
+    exactly."""
+    feats, boxes = _setup(seed=7)
+    boxes[0, :4] = [[0, 0, 256, 256], [250, 250, 256, 256],
+                    [0, 0, 256, 6], [3, 0, 9, 256]]
+    bj = jnp.asarray(boxes)
+    ref = jax.vmap(lambda f, bx: multiscale_roi_align_flat(
+        f, bx, (256, 256), (7, 7)))(feats, bj)
+    out = multiscale_roi_align_hybrid(feats, bj, (256, 256), (7, 7),
+                                      interpret=True,
+                                      mode="bands_grouped")
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_grouped_band_pooler_single_roi_and_14x14():
+    """Degenerate grouping (1 RoI, all-hole tail groups) + the
+    mask-head 14x14 output size."""
+    from object_detectors_tpu.kernels.roi_align_pallas import (
+        multiscale_roi_align_bands_grouped,
+    )
+
+    rng = np.random.RandomState(23)
+    feats = tuple(
+        jnp.asarray(rng.randn(1, 256 // s, 256 // s, 8)
+                    .astype(np.float32))
+        for s in (4, 8, 16, 32))
+    b1 = jnp.asarray([[[10.0, 12.0, 60.0, 70.0]]])
+    ref = jax.vmap(lambda f, bx: multiscale_roi_align_flat(
+        f, bx, (256, 256), (7, 7)))(feats, b1)
+    out = multiscale_roi_align_bands_grouped(
+        feats, b1, (256, 256), (7, 7), interpret=True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               rtol=1e-4, atol=1e-5)
+
+    feats2, boxes = _setup(seed=11, n=12)
+    boxes[..., 2] = np.minimum(boxes[..., 2], boxes[..., 0] + 100)
+    boxes[..., 3] = np.minimum(boxes[..., 3], boxes[..., 1] + 100)
+    bj = jnp.asarray(boxes)
+    ref = jax.vmap(lambda f, bx: multiscale_roi_align_flat(
+        f, bx, (256, 256), (14, 14)))(feats2, bj)
+    out = multiscale_roi_align_bands_grouped(
+        feats2, bj, (256, 256), (14, 14), interpret=True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               rtol=1e-4, atol=1e-5)
