@@ -118,6 +118,57 @@ def main():
 
     stages = {}
     if args.stem_detail:
+        # isolate the s2d layout shuffle from the conv: the 6D
+        # reshape/transpose has tiny minor dims (2, 2, 3) that XLA's
+        # HBM transpose engine handles badly — if "s2d_only" carries
+        # most of stem:conv, the fix is a layout-producing preprocess,
+        # not a faster conv.
+        b, h, w, _ = images.shape
+
+        def s2d_only(im):
+            z = (im.reshape(b, h // 2, 2, w // 2, 2, 3)
+                 .transpose(0, 1, 3, 2, 4, 5)
+                 .reshape(b, h // 2, w // 2, 12))
+            return jnp.sum(z.astype(jnp.float32))
+
+        def s2d_slice(im):
+            # strided-slice formulation of the same layout
+            z = jnp.concatenate(
+                [im[:, a::2, c::2, :] for a in (0, 1) for c in (0, 1)],
+                axis=-1)
+            return jnp.sum(z.astype(jnp.float32))
+
+        stages["stem:s2d_only"] = s2d_only
+        stages["stem:s2d_slice"] = s2d_slice
+
+        from object_detectors_tpu.models.resnet import SpaceToDepthStem
+        s2 = SpaceToDepthStem(dtype=dtype)
+        s2v = s2.init(jax.random.key(0), images[:1])
+        kern = s2v["params"]["kernel"]
+        wp = jnp.pad(kern, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        w2 = (wp.reshape(4, 2, 4, 2, 3, 64)
+              .transpose(0, 2, 1, 3, 4, 5)
+              .reshape(4, 4, 12, 64)).astype(dtype)
+        z_pre = jnp.asarray(np.asarray(
+            (images.reshape(b, h // 2, 2, w // 2, 2, 3)
+             .transpose(0, 1, 3, 2, 4, 5)
+             .reshape(b, h // 2, w // 2, 12))))
+
+        def conv_pre_s2d(z):
+            return jnp.sum(jax.lax.conv_general_dilated(
+                z.astype(dtype), w2, (1, 1), ((2, 1), (2, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                .astype(jnp.float32))
+
+        dt = time_fn(conv_pre_s2d, z_pre)
+        print(f"{'stem:conv_pre_s2d':18s} {dt*1e3:8.2f} ms"
+              f"  {args.bs/dt:7.1f} img/s")
+
+        dst = Stem(dtype=dtype, direct=True, cut="conv")
+        dsv = dst.init(jax.random.key(0), images[:1])
+        stages["stem:direct_conv"] = (
+            lambda im, st=dst, vv=dsv: jnp.sum(
+                st.apply(vv, im).astype(jnp.float32)))
         for cut in ("conv", "bnrelu", "pool_rw", "pool"):
             st = Stem(dtype=dtype, cut=cut)
             vv = st.init(jax.random.key(0), images[:1])

@@ -64,7 +64,8 @@ def build_stages(size, dtype, num_classes=91):
         cls, reg, level_sizes = model.apply(variables, images,
                                             train=False)
         out = RN.retinanet_postprocess(
-            cls, reg, anchors, tuple(level_sizes), (size, size), cfg)
+            cls, reg, anchors, tuple(level_sizes), (size, size), cfg,
+            grids=tuple(grids))
         return jnp.sum(out[0]) + jnp.sum(out[1])
 
     def post_stage(debug):

@@ -429,9 +429,10 @@ class ModelAdapter:
             anchors = self._anchors_for()
             # native-dtype logits: selection is exact on bf16, only
             # survivors are cast (retinanet_postprocess docstring)
+            grids = tuple((s // st,) * 2 for st in (8, 16, 32, 64, 128))
             b, sc, lab, v = RN.retinanet_postprocess(
                 cls, reg, anchors, tuple(level_sizes), (s, s), self.cfg,
-                tfidf_post=self.tfidf)
+                tfidf_post=self.tfidf, grids=grids)
             return b, sc, lab + 1, v  # back to 1-based for the evaluator
         cls, reg, level_sizes = self.model.apply(variables, images,
                                                  train=False)

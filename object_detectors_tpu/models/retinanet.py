@@ -266,6 +266,7 @@ def retinanet_postprocess(
     image_size: tuple,         # (H, W)
     cfg: RetinaNetConfig,
     tfidf_post: jnp.ndarray | float = 1.0,
+    grids: tuple | None = None,
 ):
     """[B] static-shape detections: (boxes [B,D,4], scores [B,D],
     labels [B,D], valid [B,D]) with D = detections_per_img.
@@ -286,23 +287,68 @@ def retinanet_postprocess(
     if isinstance(tfidf_post, (int, float)) and tfidf_post > 0:
         return _retinanet_postprocess(
             cls_logits, bbox_reg, anchors, level_sizes, image_size,
-            cfg, 1.0, float(tfidf_post))
+            cfg, 1.0, float(tfidf_post), grids=grids)
     return _retinanet_postprocess(
         cls_logits, bbox_reg, anchors, level_sizes, image_size, cfg,
-        tfidf_post, None)
+        tfidf_post, None, grids=grids)
+
+
+def _anchors_from_index(aidx, anchors, level_sizes, grids, image_size):
+    """Rebuild grid_anchors rows (anchors.py:37-62) for global anchor
+    ids: shift = (col*stride_w, row*stride_h) + the level's rounded
+    base table (= the table's first-cell rows, sliced at static
+    offsets). Integer products < 2^24 are exact in f32, so rows are
+    BITWISE equal to anchors[aidx] (analysis/decode_bench.py)."""
+    aidx = aidx.astype(jnp.int32)
+    nl = len(level_sizes)
+    a_per = level_sizes[0] // (grids[0][0] * grids[0][1])
+    starts, s = [], 0
+    for ls, (gh, gww) in zip(level_sizes, grids):
+        assert ls == gh * gww * a_per, (level_sizes, grids)
+        starts.append(s)
+        s += ls
+    bases = jnp.concatenate(
+        [jax.lax.dynamic_slice_in_dim(anchors, s0, a_per, 0)
+         for s0 in starts], 0).astype(jnp.float32)   # [nl*a_per, 4]
+    lvl = jnp.zeros_like(aidx)
+    start = jnp.zeros_like(aidx)
+    gw = jnp.zeros_like(aidx)
+    st_w = jnp.zeros_like(aidx)
+    st_h = jnp.zeros_like(aidx)
+    for li, (s0, (gh, gww)) in enumerate(zip(starts, grids)):
+        sel = aidx >= s0
+        lvl = jnp.where(sel, li, lvl)
+        start = jnp.where(sel, s0, start)
+        gw = jnp.where(sel, gww, gw)
+        st_w = jnp.where(sel, image_size[1] // gww, st_w)
+        st_h = jnp.where(sel, image_size[0] // gh, st_h)
+    local = aidx - start
+    cell = local // a_per
+    a = local % a_per
+    sx = (cell % gw).astype(jnp.float32) * st_w.astype(jnp.float32)
+    sy = (cell // gw).astype(jnp.float32) * st_h.astype(jnp.float32)
+    key = lvl * a_per + a
+    onehot = (key[:, None]
+              == jnp.arange(nl * a_per)[None, :]).astype(jnp.float32)
+    return jnp.stack([sx, sy, sx, sy], -1) + onehot @ bases
 
 
 @partial(jax.jit, static_argnames=("cfg", "level_sizes", "image_size",
-                                   "static_tfidf", "debug"))
+                                   "static_tfidf", "debug", "grids"))
 def _retinanet_postprocess(
     cls_logits, bbox_reg, anchors, level_sizes, image_size,
     cfg: RetinaNetConfig, tfidf_post, static_tfidf: float | None,
-    debug: str = "full",
+    debug: str = "full", grids: tuple | None = None,
 ):
     """``debug`` truncates the pipeline for stage attribution in
     analysis/retinanet_ablate.py: "select" stops after the per-level
     top-k (no gathers/decode), "decode" after box decode+clip, "cap"
-    after the pre-NMS candidate cap, "full" (default) runs NMS."""
+    after the pre-NMS candidate cap, "full" (default) runs NMS.
+
+    ``grids``: optional static ((gh, gw), ...) per level. When given,
+    survivors' anchor rows are reconstructed arithmetically from their
+    indices (bitwise-equal to the table — see the decode block below)
+    instead of gathered, halving the decode gather traffic."""
     k = cls_logits.shape[-1]
 
     # With a scalar tfidf the sigmoid is monotonic per element, so the
@@ -407,12 +453,29 @@ def _retinanet_postprocess(
         if debug == "cap":
             return (jnp.zeros(scores.shape + (4,), scores.dtype),
                     scores, labels, valid)
-        # fused reg+anchor gather of only the capped survivors
-        regan = jnp.concatenate(
-            [reg.astype(jnp.float32), anchors.astype(jnp.float32)], -1)
-        ra = regan[aidx]                              # [Ncap, 8]
-        boxes = box_ops.decode_boxes(ra[:, :4], ra[:, 4:],
-                                     cfg.box_weights)
+        if grids is not None:
+            # Arithmetic anchor reconstruction: grid_anchors rows are
+            # col*stride + base[level, a] (anchors.py:37-62) — integer
+            # products < 2^24 are exact in f32 and the rounded base
+            # table is the first cell's anchor rows, so the rebuilt
+            # rows are BITWISE equal to the table
+            # (analysis/decode_bench.py asserts 0 mismatches). This
+            # halves the decode's gather work: only the [Ncap, 4] bf16
+            # reg rows are fetched (~30 ns/index row on the TPU gather
+            # engine); the r4f stage isolation put the fused [Ncap, 8]
+            # f32 gather decode at +5.0 ms bs16.
+            an = _anchors_from_index(aidx, anchors, level_sizes,
+                                     grids, image_size)
+            rg = reg[aidx].astype(jnp.float32)        # [Ncap, 4]
+            boxes = box_ops.decode_boxes(rg, an, cfg.box_weights)
+        else:
+            # fused reg+anchor gather of only the capped survivors
+            regan = jnp.concatenate(
+                [reg.astype(jnp.float32),
+                 anchors.astype(jnp.float32)], -1)
+            ra = regan[aidx]                          # [Ncap, 8]
+            boxes = box_ops.decode_boxes(ra[:, :4], ra[:, 4:],
+                                         cfg.box_weights)
         boxes = box_ops.clip_boxes_to_image(boxes, image_size)
         if debug == "decode":
             return boxes, scores, labels, valid

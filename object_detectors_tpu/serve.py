@@ -250,6 +250,7 @@ def build_retinanet_pipeline(num_classes=91, img_size=640,
         cls, reg, level_sizes = model.apply(variables, images,
                                             train=False)
         return RN.retinanet_postprocess(
-            cls, reg, anchors, tuple(level_sizes), (s, s), cfg)
+            cls, reg, anchors, tuple(level_sizes), (s, s), cfg,
+            grids=tuple(grids))
 
     return infer

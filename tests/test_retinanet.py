@@ -177,3 +177,34 @@ def test_packed_head_matches_per_level_head():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(reg_p), np.asarray(reg_u),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_arith_anchor_decode_bitwise_equal():
+    """grids= arithmetic anchor reconstruction produces BITWISE the
+    same detections as the gather decode: grid_anchors rows are
+    col*stride + rounded base (anchors.py:50-60); integer products
+    < 2^24 are exact in f32 and the base rows equal the first cell's
+    anchor rows, so _anchors_from_index rebuilds table rows exactly.
+    Uses a non-divisible size (72) so stride = size // grid exercises
+    the floor-stride rule."""
+    size = 72
+    grids = tuple((max(size // s, 1),) * 2 for s in (8, 16, 32, 64, 128))
+    sizes, ars = A.retinanet_anchor_config()
+    anchors = jnp.asarray(A.grid_anchors((size, size), grids, sizes, ars))
+    a_per = 9
+    level_sizes = tuple(gh * gw * a_per for gh, gw in grids)
+    total = sum(level_sizes)
+    cfg = R.RetinaNetConfig(num_classes=7)
+    rng = np.random.RandomState(3)
+    cls = jnp.asarray(rng.randn(2, total, 7).astype(np.float32) * 2,
+                      jnp.bfloat16)
+    reg = jnp.asarray(rng.randn(2, total, 4).astype(np.float32) * 0.3,
+                      jnp.bfloat16)
+    ref = R.retinanet_postprocess(cls, reg, anchors, level_sizes,
+                                  (size, size), cfg)
+    got = R.retinanet_postprocess(cls, reg, anchors, level_sizes,
+                                  (size, size), cfg, grids=grids)
+    for name, (a, b) in zip(("boxes", "scores", "labels", "valid"),
+                            zip(ref, got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
