@@ -65,7 +65,7 @@ def build_stages(size, dtype, pooler="auto"):
             rpnv, feats)
         return jnp.sum(obj.astype(jnp.float32))
 
-    def _through_filter(images):
+    def _through_filter(images, debug="full"):
         feats = bb.apply(bbv, images, False)
         obj, deltas, level_sizes = RPN.RPNHead(3, dtype=dtype).apply(
             rpnv, feats)
@@ -80,12 +80,18 @@ def build_stages(size, dtype, pooler="auto"):
                                      cfg.rpn.box_weights)
         pb, ps, pv = RPN.filter_proposals(
             props, obj, level_sizes, images.shape[1:3], cfg.rpn,
-            training=False)
+            training=False, debug=debug)
         return feats, pb, pv
 
     def plus_filter(images):
         feats, pb, pv = _through_filter(images)
         return jnp.sum(pb) + jnp.sum(pv)
+
+    def filter_stage(debug):
+        def f(images):
+            feats, pb, pv = _through_filter(images, debug=debug)
+            return jnp.sum(pb) + jnp.sum(pv)
+        return f
 
     def plus_roialign(images):
         feats, pb, pv = _through_filter(images)
@@ -149,6 +155,8 @@ def build_stages(size, dtype, pooler="auto"):
         return jnp.sum(out[0]) + jnp.sum(out[1])
 
     return {"backbone": backbone_only, "rpn_head": plus_rpn,
+            "filter_topk": filter_stage("topk"),
+            "filter_nms": filter_stage("nms"),
             "proposal_filter": plus_filter, "roi_align": plus_roialign,
             "box_heads": plus_heads, "full": full,
             "full_pieces": _full_pieces,

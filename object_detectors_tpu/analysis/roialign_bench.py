@@ -171,6 +171,9 @@ def main():
         "hybrid_bands": hybrid_bands,
         "grouped": grouped_fn(),
         "grouped_rows": grouped_fn(fold="rows"),
+        "grouped_wide": grouped_fn(fold="wide"),
+        "grouped_wide_compute": grouped_fn(debug="compute_only",
+                                           fold="wide"),
         "grouped_dma": grouped_fn(debug="dma_only"),
         "grouped_compute": grouped_fn(debug="compute_only"),
         "hybrid_grouped": hybrid_grouped,

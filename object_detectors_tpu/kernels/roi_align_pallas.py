@@ -995,6 +995,41 @@ def _band_group_kernel(gdesc_ref, rdesc_ref, geom_ref, canvas_ref,
                           + fr * inside * (xs == b_rel))
                 wx = wx * inv
 
+                if fold == "wide":
+                    # ONE [ow, tw] x [tw, oh*c] matmul per RoI: the oh
+                    # per-row [ow,tw]x[tw,c] dots all share wx, so
+                    # lane-concatenating the folded row blocks lets a
+                    # single wide dot replace them (the rows fold
+                    # issues oh small matmuls per RoI and Mosaic
+                    # issue latency, not FLOPs, bounds the kernel).
+                    # Writeback slices lanes at static c offsets — no
+                    # transpose.
+                    blocks = []
+                    for irow in range(oh):
+                        rows = jnp.zeros((tw, c), jnp.float32)
+                        for (ya, yb, wa, wb) in row_taps(irow):
+                            ra = jnp.clip(
+                                (ya - rbase).astype(jnp.int32) + roff,
+                                0, BAND_R - 1)
+                            rb = jnp.clip(
+                                (yb - rbase).astype(jnp.int32) + roff,
+                                0, BAND_R - 1)
+                            rows = (rows
+                                    + band_buf[slot, ra,
+                                               pl.ds(wcol, tw)]
+                                    .astype(jnp.float32) * wa
+                                    + band_buf[slot, rb,
+                                               pl.ds(wcol, tw)]
+                                    .astype(jnp.float32) * wb)
+                        blocks.append(rows)
+                    res = jnp.dot(wx, jnp.concatenate(blocks, -1),
+                                  preferred_element_type=jnp.float32)
+                    for irow in range(oh):
+                        out_ref[j, irow] = res[
+                            :, irow * c:(irow + 1) * c
+                        ].astype(out_ref.dtype)
+                    return
+
                 for irow in range(oh):
                     taps = row_taps(irow)
                     if fold == "quad":

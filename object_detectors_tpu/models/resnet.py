@@ -78,6 +78,69 @@ class SpaceToDepthStem(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
+def _stem4_kernel(w):
+    """Phase-split stem kernel: [7, 7, 3, 64] -> [3, 3, 48, 256].
+
+    With x space-to-depth'd by 4 (z[..., ay*12+ax*3+c] = x[4u+ay,
+    4v+ax, c]), the stride-2 7x7 conv row index for output row
+    2u + py (py in {0,1}) and tap iy is X = 4u + 2*py + iy - 3 =
+    4*(u-1) + i' with i' = 2*py + iy + 1 in [1, 9]; so tap iy lands at
+    z-block u - 1 + i'//4 with phase ay = i' % 4 — a 3x3 conv over z
+    with padding 1. Output channel = (py*2+px)*64 + o packs the four
+    output phases, i.e. y4[u, v, (py*2+px)*64+o] = conv1(x)[2u+py,
+    2v+px, o] exactly (same taps, reassociated summation only)."""
+    def phase(py, px):
+        wy = jnp.pad(w, ((2 * py + 1, 4 - 2 * py), (0, 0), (0, 0),
+                         (0, 0)))                   # rows: i' in [0,12)
+        wy = wy.reshape(3, 4, 7, 3, 64)             # [ky, ay, ix, c, o]
+        wx = jnp.pad(wy, ((0, 0), (0, 0), (2 * px + 1, 4 - 2 * px),
+                          (0, 0), (0, 0)))
+        wx = wx.reshape(3, 4, 3, 4, 3, 64)          # [ky,ay,kx,ax,c,o]
+        return (wx.transpose(0, 2, 1, 3, 4, 5)      # [ky,kx,ay,ax,c,o]
+                .reshape(3, 3, 48, 64))
+    return jnp.concatenate(
+        [phase(py, px) for py in (0, 1) for px in (0, 1)], -1)
+
+
+def _stem4(x, w, bn, dtype, eps=1e-5):
+    """Full ResNet stem (conv1 7x7/s2 -> frozen-BN -> relu -> maxpool
+    3x3/s2/p1) computed in 4x4 phase-split layout: [B, H, W, 3] ->
+    [B, H/4, W/4, 64].
+
+    Why: the direct (and 2x2-s2d) stem conv runs ~6% of MXU peak on
+    v5e because the tiny input channel dim (3 / 12) lane-pads to 128 —
+    a ~10x HBM read amplification (backbone_ablate --stem-detail:
+    conv 3.26 ms bs16 640²). The 48-deep phase-split conv cuts the
+    pad factor to 2.7x, and the stem maxpool over the virtual 2x-grid
+    becomes channel slicing + two shifted max's (rows 2m-1, 2m, 2m+1
+    are phase slices (m-1, py=1), (m, py=0), (m, py=1)). Exact modulo
+    f32 summation order. Semantics parity: torchvision ResNet conv1/
+    maxpool (utilities/resnet.py:146-151)."""
+    b, h, ww, c = x.shape
+    z = (x.reshape(b, h // 4, 4, ww // 4, 4, c)
+         .transpose(0, 1, 3, 2, 4, 5)
+         .reshape(b, h // 4, ww // 4, 16 * c))
+    w4 = _stem4_kernel(w)
+    y4 = jax.lax.conv_general_dilated(
+        z.astype(dtype), w4.astype(dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    scale = bn["weight"] / jnp.sqrt(bn["running_var"] + eps)
+    shift = bn["bias"] - bn["running_mean"] * scale
+    y4 = y4 * jnp.tile(scale, 4).astype(dtype) + jnp.tile(
+        shift, 4).astype(dtype)
+    y4 = nn.relu(y4)
+    # maxpool rows {2m-1, 2m, 2m+1} = phase slices; relu'd values are
+    # >= 0 so a 0-pad at the m=0 / n=0 border never wins the max
+    # (torch pads with -inf; the window always holds an in-bounds
+    # element here).
+    g0, g1 = y4[..., :128], y4[..., 128:]
+    g1s = jnp.pad(g1[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0)))
+    rowmax = jnp.maximum(jnp.maximum(g0, g1), g1s)
+    c0, c1 = rowmax[..., :64], rowmax[..., 64:]
+    c1s = jnp.pad(c1[:, :, :-1], ((0, 0), (0, 0), (1, 0), (0, 0)))
+    return jnp.maximum(jnp.maximum(c0, c1), c1s)
+
+
 class _ConvKernel(nn.Module):
     """Declares nn.Conv's kernel param (same name/shape/init) without
     executing the conv — lets the fused eval path read raw weights
@@ -233,14 +296,23 @@ class ResNet(nn.Module):
             block_cls = BasicBlock
             expansion = 1
 
-        x = SpaceToDepthStem(dtype=self.dtype, name="conv1")(x)
-        x = _norm(64, self.norm, self.dtype, "bn1")(x)
-        x = nn.relu(x)
-        # plain reduce_window maxpool: the backbone_ablate stem detail
-        # (v5e, bs16 640²) measured it at +0.84 ms vs +2.63 ms for the
-        # phase-decomposed variant (models/common.max_pool_3x3_s2) —
-        # XLA's reduce_window lowering wins here.
-        x = max_pool_same(x, 3, 2)
+        if (self.norm == "frozen" and x.shape[1] % 4 == 0
+                and x.shape[2] % 4 == 0):
+            # 4x4 phase-split stem (see _stem4): same params as the
+            # conv1/bn1 modules below, whole stem incl. maxpool in
+            # phase layout.
+            w = _ConvKernel((7, 7, 3, 64), name="conv1")()
+            bn = _FrozenBNVars(64, name="bn1")()
+            x = _stem4(x, w, bn, self.dtype)
+        else:
+            x = SpaceToDepthStem(dtype=self.dtype, name="conv1")(x)
+            x = _norm(64, self.norm, self.dtype, "bn1")(x)
+            x = nn.relu(x)
+            # plain reduce_window maxpool: the backbone_ablate stem
+            # detail (v5e, bs16 640²) measured it at +0.84 ms vs
+            # +2.63 ms for the phase-decomposed variant
+            # (models/common.max_pool_3x3_s2).
+            x = max_pool_same(x, 3, 2)
 
         feats = []
         planes = 64

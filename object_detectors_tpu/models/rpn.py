@@ -123,9 +123,16 @@ def filter_proposals(
     image_size: tuple,
     cfg: RPNConfig,
     training: bool = False,
+    debug: str = "full",
 ):
     """-> (boxes [B, P, 4], scores [B, P], valid [B, P]) with
-    P = post_nms_top_n."""
+    P = post_nms_top_n.
+
+    ``debug`` truncates the pipeline for stage attribution in
+    analysis/frcnn_ablate.py: "topk" stops after the per-level radix
+    top-k + gathers, "nms" after the level-parallel fixed-point NMS,
+    "full" (default) runs the post-NMS top-n merge. Truncated outputs
+    keep the [P] shapes but are NOT valid proposals."""
     pre_n = cfg.pre_nms_top_n_train if training else cfg.pre_nms_top_n_test
     post_n = (cfg.post_nms_top_n_train if training
               else cfg.post_nms_top_n_test)
@@ -165,6 +172,10 @@ def filter_proposals(
         keep &= (scores >= cfg.score_thresh) & jnp.isfinite(logits)
 
         masked = jnp.where(keep, scores, -jnp.inf)
+        if debug == "topk":
+            fb = boxes.reshape(-1, 4)[:post_n]
+            fs = masked.reshape(-1)[:post_n]
+            return fb, fs, jnp.isfinite(fs)
         kept, _ = jax.vmap(N._fixedpoint_keep, (0, 0, None))(
             boxes, masked, cfg.nms_thresh)              # [L, pre_n]
         # merge: post_nms_top_n over all levels' survivors by score
@@ -174,6 +185,10 @@ def filter_proposals(
         # independent, so the score-DESC order of the old top_k is not
         # needed — only the exact survivor set.
         flat_scores = jnp.where(kept, masked, -jnp.inf).reshape(-1)
+        if debug == "nms":
+            fb = boxes.reshape(-1, 4)[:post_n]
+            fs = flat_scores[:post_n]
+            return fb, fs, jnp.isfinite(fs)
         topv, topi = SEL.radix_topk(flat_scores, post_n)
         ovalid = jnp.isfinite(topv)
         ob2 = jnp.where(ovalid[:, None],

@@ -268,6 +268,12 @@ def test_grouped_band_pooler_matches_reference():
         feats, bj, (256, 256), (7, 7), interpret=True)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
                                rtol=1e-4, atol=1e-5)
+    # fold="wide" (one [ow,tw]x[tw,oh*c] dot per RoI) is an exact
+    # reformulation of the per-row fold
+    wide = multiscale_roi_align_bands_grouped(
+        feats, bj, (256, 256), (7, 7), interpret=True, fold="wide")
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(wide),
+                               rtol=1e-4, atol=1e-5)
 
 
 def test_hybrid_grouped_exact_with_extreme_aspects():

@@ -288,3 +288,58 @@ def test_frcnn_detections_identical_with_tiled_pooler():
                             a, b):
         np.testing.assert_allclose(np.asarray(av), np.asarray(bv),
                                    rtol=1e-4, atol=1e-4, err_msg=name)
+
+
+def test_stem4_matches_direct_stem():
+    """The 4x4 phase-split stem (_stem4: conv1 + frozen-BN + relu +
+    maxpool in phase layout) matches the direct 7x7/s2 conv ->
+    affine -> relu -> 3x3/s2 maxpool composition (torchvision
+    ResNet.conv1..maxpool, utilities/resnet.py:146-151)."""
+    from object_detectors_tpu.models.common import max_pool_same
+    from object_detectors_tpu.models.resnet import _stem4
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 64, 96, 3).astype(np.float32))
+    w = jnp.asarray(rng.randn(7, 7, 3, 64).astype(np.float32) * 0.1)
+    bn = {
+        "weight": jnp.asarray(rng.rand(64).astype(np.float32) + 0.5),
+        "bias": jnp.asarray(rng.randn(64).astype(np.float32)),
+        "running_mean": jnp.asarray(rng.randn(64).astype(np.float32)),
+        "running_var": jnp.asarray(rng.rand(64).astype(np.float32)
+                                   + 0.2),
+    }
+    eps = 1e-5
+    ref = jax.lax.conv_general_dilated(
+        x, w, (2, 2), ((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    scale = bn["weight"] / jnp.sqrt(bn["running_var"] + eps)
+    ref = ref * scale + (bn["bias"] - bn["running_mean"] * scale)
+    ref = jax.nn.relu(ref)
+    ref = max_pool_same(ref, 3, 2)
+
+    got = _stem4(x, w, bn, jnp.float32)
+    assert got.shape == ref.shape == (2, 16, 24, 64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_resnet_stem4_same_params_and_output_as_fallback():
+    """ResNet's phase-split stem path declares the identical
+    conv1/bn1 parameter tree and produces the same features as the
+    s2d-2 fallback (forced via a 4-indivisible input size)."""
+    from object_detectors_tpu.models.resnet import ResNet
+
+    net = ResNet((1, 1), "bottleneck", norm="frozen",
+                 dtype=jnp.float32)
+    rng = np.random.RandomState(11)
+    x4 = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    v = net.init(jax.random.key(0), x4)
+    # param/frozen trees must be loadable regardless of input size
+    xodd = jnp.asarray(np.pad(np.asarray(x4), ((0, 0), (0, 2), (0, 2),
+                                               (0, 0))))
+    f4 = net.apply(v, x4)
+    fodd = net.apply(v, xodd)  # fallback path, same tree
+    assert f4[0].shape[1:] == (16, 16, 256)
+    assert fodd[0].shape[1] == fodd[0].shape[2] == 17
+    assert np.isfinite(np.asarray(f4[-1])).all()
+    assert np.isfinite(np.asarray(fodd[-1])).all()
