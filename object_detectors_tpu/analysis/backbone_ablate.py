@@ -169,6 +169,23 @@ def main():
         stages["stem:direct_conv"] = (
             lambda im, st=dst, vv=dsv: jnp.sum(
                 st.apply(vv, im).astype(jnp.float32)))
+
+        # production 4x4 phase-split stem (_stem4) + its shuffle alone
+        from object_detectors_tpu.models.resnet import _stem4
+
+        def s2d4_only(im):
+            z = (im.reshape(b, h // 4, 4, w // 4, 4, 3)
+                 .transpose(0, 1, 3, 2, 4, 5)
+                 .reshape(b, h // 4, w // 4, 48))
+            return jnp.sum(z.astype(jnp.float32))
+
+        stages["stem:s2d4_only"] = s2d4_only
+        bn4 = {"weight": jnp.ones(64), "bias": jnp.zeros(64),
+               "running_mean": jnp.zeros(64),
+               "running_var": jnp.ones(64)}
+        stages["stem:stem4_full"] = (
+            lambda im, k=kern, bb=bn4: jnp.sum(
+                _stem4(im, k, bb, dtype).astype(jnp.float32)))
         for cut in ("conv", "bnrelu", "pool_rw", "pool"):
             st = Stem(dtype=dtype, cut=cut)
             vv = st.init(jax.random.key(0), images[:1])

@@ -115,7 +115,7 @@ class RPNHead(nn.Module):
 
 
 @partial(jax.jit, static_argnames=("cfg", "level_sizes", "image_size",
-                                   "training"))
+                                   "training", "debug"))
 def filter_proposals(
     proposals: jnp.ndarray,    # [B, A, 4] decoded xyxy
     objectness: jnp.ndarray,   # [B, A]

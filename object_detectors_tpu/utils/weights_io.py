@@ -464,3 +464,30 @@ def torch_ssd_to_flax(state_dict: dict) -> dict:
         head[f"reg{i}"] = _conv_leaf(
             sd, f"head.regression_head.module_list.{i}")
     return {"params": {"backbone": backbone, "head": head}}
+
+
+def overwrite_eps(variables: dict, eps: float = 0.0,
+                  module_eps: float = 1e-5) -> dict:
+    """torchvision ``overwrite_eps(model, 0.0)`` equivalent
+    (torchvision_models/tvision/frcnn.py:302-376 loads legacy
+    pretrained detection weights whose FrozenBatchNorm2d stats were
+    produced with eps=0): our FrozenBatchNorm keeps ``epsilon`` static
+    at 1e-5, so the fixup folds the difference into ``running_var``
+    — var' + module_eps == var + eps exactly, same normalization.
+
+    Walks every dict in the 'frozen' collection holding a running_var
+    leaf; returns a new variables pytree."""
+    delta = eps - module_eps
+
+    def walk(node):
+        if isinstance(node, dict):
+            out = {k: walk(v) for k, v in node.items()}
+            if "running_var" in out:
+                out["running_var"] = out["running_var"] + delta
+            return out
+        return node
+
+    new = dict(variables)
+    if "frozen" in new:
+        new["frozen"] = walk(new["frozen"])
+    return new

@@ -229,3 +229,25 @@ def test_flax_to_torch_roundtrip_fasterrcnn():
     assert set(back) == set(sd)
     for k in sd:
         np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
+
+
+def test_overwrite_eps_matches_true_eps_change():
+    """overwrite_eps folds an eps change into running_var: a frozen BN
+    with module eps 1e-5 on the fixed-up vars equals one evaluated at
+    the requested eps on the original vars (tvision/frcnn.py:302-376
+    overwrite_eps(model, 0.0))."""
+    import jax
+    import jax.numpy as jnp
+    from object_detectors_tpu.models.common import FrozenBatchNorm
+    from object_detectors_tpu.utils import weights_io as W
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 4, 4, 8).astype(np.float32))
+    bn = FrozenBatchNorm(8)
+    v = bn.init(jax.random.key(0), x)
+    v = jax.tree.map(lambda a: a + 0.3, v)  # non-trivial stats
+    fixed = W.overwrite_eps(v, eps=0.0)
+    got = bn.apply(fixed, x)
+    ref = FrozenBatchNorm(8, epsilon=0.0).apply(v, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
