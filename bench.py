@@ -160,13 +160,14 @@ def run(batch_sizes=(64,), img_size=640, warmup=2, iters=10,
     return best, results
 
 
-def run_train_step(bs=64, img_size=416, warmup=2, iters=10):
+def run_train_step(bs=128, img_size=416, warmup=2, iters=10):
     """YOLO SPMD training step (fwd+bwd+SGD, bf16) img/s/chip — the r1
     measurement (382 img/s) re-taken each round (VERDICT r2 item 10).
 
-    bs=64 (r4): the step is MXU-bound and batch amortizes the fixed
-    dispatch + loss overheads — analysis/train_ablate measured 405.9
-    (bs32) -> 440.6 (bs64) img/s; bs16 was the r1-r3 setting (395)."""
+    bs=128 (r4): the step is MXU-bound and batch amortizes the fixed
+    dispatch + loss overheads — analysis/train_ablate measured 395
+    (bs16) -> 405.9 (bs32) -> 440.6 (bs64) -> 534.3 (bs128) img/s;
+    bs16 was the r1-r3 setting."""
     import optax
 
     from object_detectors_tpu.models import yolo_criterion as YC

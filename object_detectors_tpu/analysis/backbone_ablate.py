@@ -180,6 +180,17 @@ def main():
             return jnp.sum(z.astype(jnp.float32))
 
         stages["stem:s2d4_only"] = s2d4_only
+
+        def s2d4_rowphase(im):
+            # same (ay*12+ax*3+c) layout via 4 stride-4 ROW slices;
+            # per row-phase, (W, 3) -> (W/4, 12) is a free contiguous
+            # reshape, so only the row slice + channel concat move data
+            z = jnp.concatenate([
+                im[:, a::4, :, :].reshape(b, h // 4, w // 4, 12)
+                for a in range(4)], axis=-1)
+            return jnp.sum(z.astype(jnp.float32))
+
+        stages["stem:s2d4_rowphase"] = s2d4_rowphase
         bn4 = {"weight": jnp.ones(64), "bias": jnp.zeros(64),
                "running_mean": jnp.zeros(64),
                "running_var": jnp.ones(64)}

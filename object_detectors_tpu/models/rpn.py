@@ -115,7 +115,8 @@ class RPNHead(nn.Module):
 
 
 @partial(jax.jit, static_argnames=("cfg", "level_sizes", "image_size",
-                                   "training", "debug"))
+                                   "training", "debug", "fp_chunk",
+                                   "fp_unroll"))
 def filter_proposals(
     proposals: jnp.ndarray,    # [B, A, 4] decoded xyxy
     objectness: jnp.ndarray,   # [B, A]
@@ -124,6 +125,8 @@ def filter_proposals(
     cfg: RPNConfig,
     training: bool = False,
     debug: str = "full",
+    fp_chunk: int = 256,
+    fp_unroll: int = 2,
 ):
     """-> (boxes [B, P, 4], scores [B, P], valid [B, P]) with
     P = post_nms_top_n.
@@ -176,8 +179,10 @@ def filter_proposals(
             fb = boxes.reshape(-1, 4)[:post_n]
             fs = masked.reshape(-1)[:post_n]
             return fb, fs, jnp.isfinite(fs)
-        kept, _ = jax.vmap(N._fixedpoint_keep, (0, 0, None))(
-            boxes, masked, cfg.nms_thresh)              # [L, pre_n]
+        kept, _ = jax.vmap(
+            lambda bx, sc: N._fixedpoint_keep(
+                bx, sc, cfg.nms_thresh, chunk=fp_chunk,
+                unroll=fp_unroll))(boxes, masked)       # [L, pre_n]
         # merge: post_nms_top_n over all levels' survivors by score
         # (rpn.py:276-280 keeps batched_nms order then slices top-n).
         # radix set-select: every downstream consumer (pooler tile sort,
