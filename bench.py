@@ -297,9 +297,14 @@ def run_yolo_lvis(bs=16, img_size=416, warmup=2, iters=8,
     return bs / dt
 
 
-def run_serving(n_requests=256, img_size=640, yolo_bs=32, retina_bs=8):
+def run_serving(n_requests=256, img_size=640, yolo_bs=64, retina_bs=16):
     """BASELINE config 5: mixed YOLO+RetinaNet stream through the
-    batched serving scheduler (uint8 requests, async in-flight)."""
+    batched serving scheduler (uint8 requests, async in-flight).
+
+    Flush sizes 64/16 (r4): the stream is kernel-bound
+    (relay_bound: false), so bigger flushes amortize per-flush
+    dispatch — serving_ablate measured 459.9 img/s at 64/16 vs ~424
+    at the r3 setting 32/8."""
     from object_detectors_tpu import serve as S
 
     pipelines = {

@@ -65,7 +65,7 @@ def build_stages(size, dtype, pooler="auto"):
             rpnv, feats)
         return jnp.sum(obj.astype(jnp.float32))
 
-    def _through_filter(images, debug="full"):
+    def _through_filter(images, debug="full", **kw):
         feats = bb.apply(bbv, images, False)
         obj, deltas, level_sizes = RPN.RPNHead(3, dtype=dtype).apply(
             rpnv, feats)
@@ -80,16 +80,16 @@ def build_stages(size, dtype, pooler="auto"):
                                      cfg.rpn.box_weights)
         pb, ps, pv = RPN.filter_proposals(
             props, obj, level_sizes, images.shape[1:3], cfg.rpn,
-            training=False, debug=debug)
+            training=False, debug=debug, **kw)
         return feats, pb, pv
 
     def plus_filter(images):
         feats, pb, pv = _through_filter(images)
         return jnp.sum(pb) + jnp.sum(pv)
 
-    def filter_stage(debug):
+    def filter_stage(debug, **kw):
         def f(images):
-            feats, pb, pv = _through_filter(images, debug=debug)
+            feats, pb, pv = _through_filter(images, debug=debug, **kw)
             return jnp.sum(pb) + jnp.sum(pv)
         return f
 
@@ -157,6 +157,8 @@ def build_stages(size, dtype, pooler="auto"):
     return {"backbone": backbone_only, "rpn_head": plus_rpn,
             "filter_topk": filter_stage("topk"),
             "filter_nms": filter_stage("nms"),
+            "filter_nms_u4": filter_stage("nms", fp_unroll=4),
+            "filter_nms_c512": filter_stage("nms", fp_chunk=512),
             "proposal_filter": plus_filter, "roi_align": plus_roialign,
             "box_heads": plus_heads, "full": full,
             "full_pieces": _full_pieces,

@@ -7,7 +7,7 @@
 set -u
 cd /root/repo
 LOG=/tmp/queue_r4m.log
-until grep -q "=== done" /tmp/queue_r4l.log 2>/dev/null; do
+until grep -q "=== done" /tmp/queue_r4n.log 2>/dev/null; do
   sleep 60
 done
 echo "=== queue_r4m $(date) ===" >> "$LOG"
