@@ -43,8 +43,7 @@ def build_stages(size, dtype, num_classes=91):
            "frozen": variables["frozen"]["backbone"]}
     headv = {"params": variables["params"]["head"]}
 
-    grids = [(size // 8,) * 2, (size // 16,) * 2, (size // 32,) * 2,
-             (size // 64,) * 2, (size // 128,) * 2]
+    grids = anchor_lib.fpn_grid_sizes((size, size))
     sizes, ars = anchor_lib.retinanet_anchor_config()
     anchors = jnp.asarray(anchor_lib.grid_anchors((size, size), grids,
                                                   sizes, ars))

@@ -351,9 +351,9 @@ class ModelAdapter:
     def _anchors_for(self):
         s = self.image_size
         if self.name == "retinanet_resnet50_fpn":
-            grids = [(s // 8, s // 8), (s // 16, s // 16),
-                     (s // 32, s // 32), (s // 64, s // 64),
-                     (s // 128, s // 128)]
+            # ceil-chain grids, NOT s // stride (anchors.fpn_grid_sizes
+            # docstring: floor grids under-count P6/P7 at e.g. 320)
+            grids = anchor_lib.fpn_grid_sizes((s, s))
             sizes, ars = anchor_lib.retinanet_anchor_config()
             return jnp.asarray(anchor_lib.grid_anchors(
                 (s, s), grids, sizes, ars))
@@ -429,7 +429,7 @@ class ModelAdapter:
             anchors = self._anchors_for()
             # native-dtype logits: selection is exact on bf16, only
             # survivors are cast (retinanet_postprocess docstring)
-            grids = tuple((s // st,) * 2 for st in (8, 16, 32, 64, 128))
+            grids = tuple(anchor_lib.fpn_grid_sizes((s, s)))
             b, sc, lab, v = RN.retinanet_postprocess(
                 cls, reg, anchors, tuple(level_sizes), (s, s), self.cfg,
                 tfidf_post=self.tfidf, grids=grids)

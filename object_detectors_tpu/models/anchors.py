@@ -61,6 +61,30 @@ def grid_anchors(
     return np.concatenate(out, axis=0).astype(np.float32)
 
 
+def fpn_grid_sizes(image_size: tuple[int, int],
+                   num_levels: int = 5) -> list[tuple[int, int]]:
+    """Per-level feature (H_l, W_l) for the ResNet-FPN pyramid starting
+    at stride 8 (RetinaNet P3..P7), as the conv chain ACTUALLY computes
+    them: every stride-2 op in the backbone and the P6/P7 extra blocks
+    is a pad-SAME halving, out = ceil(in / 2).
+
+    NOT ``image_size // stride``: at e.g. 320 the P7 feature is 3x3
+    (ceil chain 320->160->80->40->20->10->5->3) while 320 // 128 = 2 —
+    a floor-grid anchor table is then 45 rows short of the head's
+    level_sizes and every P7 anchor row is wrong. torchvision reads
+    grid sizes off the actual feature maps (anchor_utils.py:125); this
+    reproduces them arithmetically. grid_anchors' strides stay
+    image_size // grid (torchvision's rule) on these grids."""
+    h, w = image_size
+    for _ in range(3):
+        h, w = -(-h // 2), -(-w // 2)
+    out = []
+    for _ in range(num_levels):
+        out.append((h, w))
+        h, w = -(-h // 2), -(-w // 2)
+    return out
+
+
 # Standard level configs
 def rpn_anchor_config():
     """Faster/Mask R-CNN FPN RPN: one size per level x 3 aspect ratios

@@ -233,8 +233,8 @@ def build_retinanet_pipeline(num_classes=91, img_size=640,
                            jnp.zeros((1, img_size, img_size, 3), dtype),
                            train=False)
     s = img_size
-    grids = [(s // 8,) * 2, (s // 16,) * 2, (s // 32,) * 2,
-             (s // 64,) * 2, (s // 128,) * 2]
+    # ceil-chain feature grids (anchors.fpn_grid_sizes docstring)
+    grids = anchor_lib.fpn_grid_sizes((s, s))
     sizes, ars = anchor_lib.retinanet_anchor_config()
     anchors = jnp.asarray(anchor_lib.grid_anchors((s, s), grids, sizes,
                                                   ars))

@@ -302,7 +302,9 @@ def retinanet_parity():
         "bbox_reg": _mad_rel(captured["head"]["bbox_regression"][0],
                              np.asarray(reg[0])),
     }
-    grids = [(SIZE // s, SIZE // s) for s in (8, 16, 32, 64, 128)]
+    # ceil-chain feature grids: at SIZE=320 the P7 map is 3x3, not
+    # 320 // 128 = 2 (anchors.fpn_grid_sizes docstring)
+    grids = anchor_lib.fpn_grid_sizes((SIZE, SIZE))
     sizes, ars = anchor_lib.retinanet_anchor_config()
     anchors = jnp.asarray(anchor_lib.grid_anchors(
         (SIZE, SIZE), grids, sizes, ars))

@@ -208,3 +208,38 @@ def test_arith_anchor_decode_bitwise_equal():
                             zip(ref, got)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=name)
+
+
+def test_fpn_grid_sizes_match_model_features_at_160():
+    """fpn_grid_sizes reproduces the conv chain's ceil-halving feature
+    dims. At 160 the P7 map is 2x2 (ceil chain 20->10->5->3->2) while
+    160 // 128 = 1 — a floor-grid anchor table would be short and the
+    parity harness crashed exactly this way at 320 (r4). Both decode
+    paths (gather and grids= arithmetic) must agree on these grids."""
+    size = 160
+    grids = A.fpn_grid_sizes((size, size))
+    assert grids == [(20, 20), (10, 10), (5, 5), (3, 3), (2, 2)]
+
+    model = R.RetinaNet(num_classes=5, resnet_layers=(1, 1, 1, 1))
+    x = jnp.zeros((1, size, size, 3), jnp.float32)
+    v = model.init(jax.random.key(0), x, train=False)
+    rng = np.random.RandomState(2)
+    xr = jnp.asarray(rng.rand(1, size, size, 3).astype(np.float32))
+    cls, reg, level_sizes = model.apply(v, xr, train=False)
+    assert tuple(level_sizes) == tuple(gh * gw * 9 for gh, gw in grids)
+
+    sizes, ars = A.retinanet_anchor_config()
+    anchors = jnp.asarray(A.grid_anchors((size, size), grids, sizes,
+                                         ars))
+    assert anchors.shape[0] == sum(level_sizes)
+    cfg = R.RetinaNetConfig(num_classes=5)
+    ref = R.retinanet_postprocess(
+        cls.astype(jnp.float32), reg.astype(jnp.float32), anchors,
+        tuple(level_sizes), (size, size), cfg)
+    got = R.retinanet_postprocess(
+        cls.astype(jnp.float32), reg.astype(jnp.float32), anchors,
+        tuple(level_sizes), (size, size), cfg, grids=tuple(grids))
+    for name, (a, b) in zip(("boxes", "scores", "labels", "valid"),
+                            zip(ref, got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
