@@ -137,13 +137,23 @@ def paste_masks_in_image(masks, boxes, image_size, padding: int = 1):
     mp = m + 2 * padding
     padded = jnp.zeros((d, mp, mp), masks.dtype)
     padded = padded.at[:, padding:padding + m, padding:padding + m].set(masks)
-    # expand boxes about center by the same scale (expand_boxes)
+    # expand boxes about center by the same scale (expand_boxes), then
+    # TRUNCATE to integers: the reference casts the expanded boxes to
+    # int64 before computing w/h, the resize grid, and the paste crop
+    # (roi_heads.py:521 `.to(dtype=torch.int64)`, :443-447, :456-459).
+    # Sampling at the float box instead is a sub-pixel shift of the
+    # whole pasted mask — invisible on smooth random-weight masks
+    # (0.016 mean-abs) but a full boundary band on sharp trained
+    # sigmoids (the r4 "0.164 worst mean-abs" parity divergence; fixed
+    # r5, see PARITY.md).
     cx = (boxes[:, 0] + boxes[:, 2]) * 0.5
     cy = (boxes[:, 1] + boxes[:, 3]) * 0.5
     half_w = (boxes[:, 2] - boxes[:, 0]) * 0.5 * scale
     half_h = (boxes[:, 3] - boxes[:, 1]) * 0.5 * scale
-    x0, x1 = cx - half_w, cx + half_w
-    y0, y1 = cy - half_h, cy + half_h
+    x0 = jnp.trunc(cx - half_w)
+    x1 = jnp.trunc(cx + half_w)
+    y0 = jnp.trunc(cy - half_h)
+    y1 = jnp.trunc(cy + half_h)
     w = jnp.maximum(x1 - x0 + 1, 1.0)
     h = jnp.maximum(y1 - y0 + 1, 1.0)
 
@@ -152,6 +162,11 @@ def paste_masks_in_image(masks, boxes, image_size, padding: int = 1):
     # normalized mask coords for every (det, pixel): align_corners=False
     my = ((ys[None, :] - y0[:, None] + 0.5) / h[:, None]) * mp - 0.5
     mx = ((xs[None, :] - x0[:, None] + 0.5) / w[:, None]) * mp - 0.5
+    # the reference pastes exactly rows y0..y1 / cols x0..x1 (clamped
+    # to the image): outside that crop the bilinear tail of the resized
+    # mask must not leak
+    vy = (ys[None, :] >= y0[:, None]) & (ys[None, :] < y1[:, None] + 1)
+    vx = (xs[None, :] >= x0[:, None]) & (xs[None, :] < x1[:, None] + 1)
 
     def sample(mask, yy, xx):
         y0i = jnp.floor(yy).astype(jnp.int32)
@@ -173,7 +188,8 @@ def paste_masks_in_image(masks, boxes, image_size, padding: int = 1):
         return ((1 - ly)[:, None] * ((1 - lx)[None, :] * v00 + lx[None, :] * v01)
                 + ly[:, None] * ((1 - lx)[None, :] * v10 + lx[None, :] * v11))
 
-    return jax.vmap(sample)(padded, my, mx)
+    out = jax.vmap(sample)(padded, my, mx)
+    return out * (vy[:, :, None] & vx[:, None, :])
 
 
 @dataclasses.dataclass(frozen=True)
