@@ -156,6 +156,10 @@ def build_stages(size, dtype, pooler="auto"):
 
     return {"backbone": backbone_only, "rpn_head": plus_rpn,
             "filter_topk": filter_stage("topk"),
+            # r4 per-level radix_topk loop (r5 A/B vs the batched
+            # single-vmap topk that is now the default)
+            "filter_topk_perlevel": filter_stage(
+                "topk", topk_mode="perlevel"),
             "filter_nms": filter_stage("nms"),
             "filter_nms_u4": filter_stage("nms", fp_unroll=4),
             "filter_nms_c512": filter_stage("nms", fp_chunk=512),
@@ -164,6 +168,23 @@ def build_stages(size, dtype, pooler="auto"):
             "full_pieces": _full_pieces,
             "full_no_pooler": partial(_full_pieces, pooler_mode="dummy"),
             "full_no_filter": partial(_full_pieces, filter_mode="dummy"),
+            # IN-GRAPH pooler attribution (r5): the grouped kernel with
+            # compute (resp. DMA) stripped inside the otherwise-real
+            # graph — full_pieces − full_pooler_dma = in-context compute
+            "full_pooler_dma": partial(
+                _full_pieces,
+                pooler_mode="pallas_bands_grouped@dma_only"),
+            "full_pooler_compute": partial(
+                _full_pieces,
+                pooler_mode="pallas_bands_grouped@compute_only"),
+            "full_xalign16": partial(
+                _full_pieces,
+                pooler_mode="pallas_bands_grouped@xalign16"),
+            # hybrid WITHOUT the unconditional 16-RoI/img XLA-gather
+            # fixup repool (prime suspect for the in-graph 16.4 ms vs
+            # isolated 9.3 ms gap: ~50k gather rows x ~30ns)
+            "full_nofix": partial(
+                _full_pieces, pooler_mode="pallas_bands_grouped@nofix"),
             }
 
 

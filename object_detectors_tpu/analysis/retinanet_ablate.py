@@ -52,12 +52,39 @@ def build_stages(size, dtype, num_classes=91):
         feats = bb.apply(bbv, images, False)
         return sum(jnp.sum(f.astype(jnp.float32)) for f in feats)
 
-    def plus_head(images):
+    # resnet WITHOUT the FPN: isolates the FPN's 5 inner 1x1 + 3 output
+    # 3x3 convs + p6p7 (the VERDICT r4 "pack the FPN convs" candidate —
+    # per-level weights make _pack_layout inapplicable; this measures
+    # the total pool the idea could ever draw from)
+    resnet_only = ResNet((3, 4, 6, 3), "bottleneck", "frozen", dtype)
+    rv = {"params": variables["params"]["backbone"]["resnet"],
+          "frozen": variables["frozen"]["backbone"]["resnet"]}
+
+    def backbone_nofpn(images):
+        feats = resnet_only.apply(rv, images, False)
+        return sum(jnp.sum(f.astype(jnp.float32)) for f in feats)
+
+    def plus_head(images, fused=False):
         feats = bb.apply(bbv, images, False)
-        cls, reg, _ = RN.RetinaNetHead(num_classes, dtype=dtype).apply(
-            headv, feats)
+        cls, reg, _ = RN.RetinaNetHead(
+            num_classes, dtype=dtype, fused_towers=fused).apply(
+                headv, feats)
         return (jnp.sum(cls.astype(jnp.float32))
                 + jnp.sum(reg.astype(jnp.float32)))
+
+    # fused_towers=True shares the SAME param tree (tests/
+    # test_retinanet.py::test_fused_towers_match_unfused) — apply the
+    # same variables for a weight-identical A/B
+    model_fused = RN.RetinaNet(num_classes=num_classes, dtype=dtype,
+                               fused_towers=True)
+
+    def full_fused(images):
+        cls, reg, level_sizes = model_fused.apply(variables, images,
+                                                  train=False)
+        out = RN.retinanet_postprocess(
+            cls, reg, anchors, tuple(level_sizes), (size, size), cfg,
+            grids=tuple(grids))
+        return jnp.sum(out[0]) + jnp.sum(out[1])
 
     def full(images):
         cls, reg, level_sizes = model.apply(variables, images,
@@ -67,23 +94,35 @@ def build_stages(size, dtype, num_classes=91):
             grids=tuple(grids))
         return jnp.sum(out[0]) + jnp.sum(out[1])
 
-    def post_stage(debug):
+    def post_stage(debug, select_mode="batched"):
         def fn(images):
             cls, reg, level_sizes = model.apply(variables, images,
                                                 train=False)
             out = RN._retinanet_postprocess(
                 cls, reg, anchors, tuple(level_sizes), (size, size),
-                cfg, 1.0, 1.0, debug=debug)
+                cfg, 1.0, 1.0, debug=debug, select_mode=select_mode)
+            # + sum(reg)*eps keeps the REG TOWER alive in truncated
+            # stages: select/cap never read reg, so XLA DCE'd the whole
+            # tower (~5.6 ms at bs16) and the old tables mis-attributed
+            # it to the decode marginal (r5 fix; BASELINE.md r5).
             return (jnp.sum(out[0].astype(jnp.float32))
-                    + jnp.sum(out[1].astype(jnp.float32)))
+                    + jnp.sum(out[1].astype(jnp.float32))
+                    + jnp.sum(reg.astype(jnp.float32)) * 1e-30)
         return fn
 
     # post_* are cumulative truncations INSIDE the postprocess
     # (selection -> +gathers/decode -> +cap -> full adds NMS)
-    return {"backbone": backbone_only, "head": plus_head,
+    return {"backbone": backbone_only,
+            "backbone_nofpn": backbone_nofpn, "head": plus_head,
+            "head_fused": lambda im: plus_head(im, fused=True),
+            "full_fused": full_fused,
             "post_select": post_stage("select"),
+            "post_select_perlevel": post_stage("select",
+                                               select_mode="perlevel"),
             "post_decode": post_stage("decode"),
             "post_cap": post_stage("cap"),
+            "full_perlevel": post_stage("full",
+                                        select_mode="perlevel"),
             "full": full}
 
 

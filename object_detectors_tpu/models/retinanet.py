@@ -91,6 +91,26 @@ def _pack_layout(shapes):
     return canvas_h, canvas_w, places
 
 
+class _ConvP(nn.Module):
+    """Parameter holder replicating nn.Conv's exact (kernel, bias) tree
+    so the fused-tower head keeps checkpoint/state-dict compatibility
+    while accessing raw kernels for concatenation."""
+
+    features: int
+    in_features: int
+    kernel_init: Any
+    bias_init: Any
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", self.kernel_init,
+                       (3, 3, self.in_features, self.features),
+                       jnp.float32)
+        b = self.param("bias", self.bias_init, (self.features,),
+                       jnp.float32)
+        return k, b
+
+
 class RetinaNetHead(nn.Module):
     """Classification/regression towers with parameters SHARED across FPN
     levels (the torchvision heads are single modules applied per level).
@@ -98,7 +118,18 @@ class RetinaNetHead(nn.Module):
     ``packed=True`` runs each tower ONCE over all levels packed into a
     single gap-separated masked canvas instead of 5 per-level convs —
     numerically identical (gaps re-zeroed between convs), but one big
-    MXU-friendly conv per layer instead of five small ones."""
+    MXU-friendly conv per layer instead of five small ones.
+
+    ``fused_towers=True`` (requires packed) additionally runs the cls
+    and reg towers JOINTLY: layer 1 is one dense 512-out conv (both
+    towers read the same canvas), layers 2-4 are feature_group_count=2
+    grouped convs (block-diagonal — exactly the two independent
+    towers). Same FLOPs, half the conv dispatches, N=512 MXU shapes.
+    MEASURED LOSER (r5 chip A/B, kept for the ablation record): head
+    +0.8 ms at bs16 640² (15.7 -> 16.5), full graph 94.1 vs 92.4 ms at
+    bs32 — XLA already overlaps the two tower chains, and the grouped
+    convs lower less efficiently than two dense N=256 convs
+    (BASELINE.md r5 appendix). Default stays False."""
 
     num_classes: int
     num_anchors: int = 9
@@ -106,6 +137,7 @@ class RetinaNetHead(nn.Module):
     prior_probability: float = 0.01
     dtype: Any = jnp.float32
     packed: bool = True
+    fused_towers: bool = False
 
     @nn.compact
     def __call__(self, features: Sequence[jnp.ndarray]):
@@ -118,12 +150,58 @@ class RetinaNetHead(nn.Module):
                            bias_init=bias_init, dtype=self.dtype,
                            param_dtype=jnp.float32, name=name)
 
-        cls_tower = [conv(self.in_channels, f"cls_conv{i}") for i in range(4)]
         cls_logits_conv = conv(self.num_anchors * self.num_classes,
                                "cls_logits",
                                nn.initializers.constant(bias_value))
-        reg_tower = [conv(self.in_channels, f"reg_conv{i}") for i in range(4)]
         bbox_reg_conv = conv(self.num_anchors * 4, "bbox_reg")
+
+        if self.packed and self.fused_towers:
+            cin = self.in_channels
+            kb = [(_ConvP(cin, cin, nn.initializers.normal(0.01),
+                          nn.initializers.zeros, name=f"cls_conv{i}")(),
+                   _ConvP(cin, cin, nn.initializers.normal(0.01),
+                          nn.initializers.zeros, name=f"reg_conv{i}")())
+                  for i in range(4)]
+            b = features[0].shape[0]
+            shapes = [(f.shape[1], f.shape[2]) for f in features]
+            ch, cw, places = _pack_layout(shapes)
+            canvas = jnp.zeros((b, ch, cw, cin), features[0].dtype)
+            mask = np.zeros((1, ch, cw, 1), np.float32)
+            for f, (r, c, h, w) in zip(features, places):
+                canvas = jax.lax.dynamic_update_slice(
+                    canvas, f, (0, r, c, 0))
+                mask[0, r:r + h, c:c + w, 0] = 1.0
+            maskj = jnp.asarray(mask, self.dtype)
+            dn = jax.lax.conv_dimension_numbers(
+                canvas.shape, (3, 3, cin, 2 * cin),
+                ("NHWC", "HWIO", "NHWC"))
+            x = canvas.astype(self.dtype)
+            for i, ((kc, bc), (kr, br)) in enumerate(kb):
+                kcat = jnp.concatenate([kc, kr], 3).astype(self.dtype)
+                bcat = jnp.concatenate([bc, br], 0).astype(self.dtype)
+                x = jax.lax.conv_general_dilated(
+                    x, kcat, (1, 1), ((1, 1), (1, 1)),
+                    dimension_numbers=dn,
+                    # layer 1 reads the shared canvas densely; layers
+                    # 2-4 are block-diagonal (tower-independent)
+                    feature_group_count=1 if i == 0 else 2)
+                x = nn.relu(x + bcat) * maskj
+            cls_c = cls_logits_conv(x[..., :cin])
+            reg_c = bbox_reg_conv(x[..., cin:])
+            cls_out, reg_out = [], []
+            for (r, c, h, w) in places:
+                cc = jax.lax.slice(cls_c, (0, r, c, 0),
+                                   (b, r + h, c + w, cls_c.shape[-1]))
+                rr = jax.lax.slice(reg_c, (0, r, c, 0),
+                                   (b, r + h, c + w, reg_c.shape[-1]))
+                cls_out.append(cc.reshape(b, -1, self.num_classes))
+                reg_out.append(rr.reshape(b, -1, 4))
+            level_sizes = tuple(c.shape[1] for c in cls_out)
+            return (jnp.concatenate(cls_out, 1),
+                    jnp.concatenate(reg_out, 1), level_sizes)
+
+        cls_tower = [conv(self.in_channels, f"cls_conv{i}") for i in range(4)]
+        reg_tower = [conv(self.in_channels, f"reg_conv{i}") for i in range(4)]
 
         if self.packed:
             b = features[0].shape[0]
@@ -189,6 +267,7 @@ class RetinaNet(nn.Module):
     resnet_layers: Sequence[int] = (3, 4, 6, 3)
     dtype: Any = jnp.float32
     backbone_fused: str = "off"  # fused eval bottlenecks (resnet.py)
+    fused_towers: bool = False   # joint towers: measured r5 loser, off
 
     def setup(self):
         self.backbone = BackboneWithFPN(
@@ -197,6 +276,7 @@ class RetinaNet(nn.Module):
             out_channels=256, extra_blocks="p6p7",
             returned_layers=(2, 3, 4), name="backbone")
         self.head = RetinaNetHead(self.num_classes, dtype=self.dtype,
+                                  fused_towers=self.fused_towers,
                                   name="head")
 
     def __call__(self, images, train: bool = False):
@@ -267,6 +347,7 @@ def retinanet_postprocess(
     cfg: RetinaNetConfig,
     tfidf_post: jnp.ndarray | float = 1.0,
     grids: tuple | None = None,
+    select_mode: str = "batched",
 ):
     """[B] static-shape detections: (boxes [B,D,4], scores [B,D],
     labels [B,D], valid [B,D]) with D = detections_per_img.
@@ -287,10 +368,11 @@ def retinanet_postprocess(
     if isinstance(tfidf_post, (int, float)) and tfidf_post > 0:
         return _retinanet_postprocess(
             cls_logits, bbox_reg, anchors, level_sizes, image_size,
-            cfg, 1.0, float(tfidf_post), grids=grids)
+            cfg, 1.0, float(tfidf_post), grids=grids,
+            select_mode=select_mode)
     return _retinanet_postprocess(
         cls_logits, bbox_reg, anchors, level_sizes, image_size, cfg,
-        tfidf_post, None, grids=grids)
+        tfidf_post, None, grids=grids, select_mode=select_mode)
 
 
 def _anchors_from_index(aidx, anchors, level_sizes, grids, image_size):
@@ -334,11 +416,13 @@ def _anchors_from_index(aidx, anchors, level_sizes, grids, image_size):
 
 
 @partial(jax.jit, static_argnames=("cfg", "level_sizes", "image_size",
-                                   "static_tfidf", "debug", "grids"))
+                                   "static_tfidf", "debug", "grids",
+                                   "select_mode"))
 def _retinanet_postprocess(
     cls_logits, bbox_reg, anchors, level_sizes, image_size,
     cfg: RetinaNetConfig, tfidf_post, static_tfidf: float | None,
     debug: str = "full", grids: tuple | None = None,
+    select_mode: str = "batched",
 ):
     """``debug`` truncates the pipeline for stage attribution in
     analysis/retinanet_ablate.py: "select" stops after the per-level
@@ -360,7 +444,72 @@ def _retinanet_postprocess(
     logit_thr = math.log(cfg.score_thresh / (1.0 - cfg.score_thresh))
     ninf = -jnp.inf
 
+    def select_batched(logits):
+        """All levels in ONE two-stage radix select (r5).
+
+        The per-level loop issued 2 radix_topk calls per level = 10 per
+        image; each is a SEQUENTIAL nbits/2-trip reduce chain, so the
+        level loop serialized ~160 latency-bound trips (the true select
+        marginal at bs16 640² was ~9.4 ms once the reg-tower DCE in the
+        stage harness was accounted for). Stacking the per-level
+        anchor-max rows into a [-inf]-padded [L, n_max] array and
+        vmapping both radix stages runs the same 32 trips ONCE for all
+        levels (and all images, via the outer vmap). Exact: -inf pads
+        sit at each row's tail (ties stay lowest-index-first) and the
+        top-k SET per level is unchanged; levels with fewer than k real
+        candidates surface -inf slots that the validity mask drops —
+        same semantics as the old per-level short-k padding.
+        """
+        if static_pos:
+            raw = jnp.where(
+                logits.astype(jnp.float32) * static_tfidf > logit_thr,
+                logits, jnp.asarray(ninf, logits.dtype))
+            scale = static_tfidf
+        else:
+            raw = logits.astype(jnp.float32) * tfidf_post
+            raw = jnp.where(raw > logit_thr, raw, ninf)
+            scale = 1.0
+        anchor_best = jnp.max(raw, axis=1)              # [A]
+        nl = len(level_sizes)
+        n_max = max(level_sizes)
+        starts_l = [0]
+        for ls in level_sizes[:-1]:
+            starts_l.append(starts_l[-1] + ls)
+        ka = min(cfg.topk_candidates, n_max)
+        rows = [
+            jnp.pad(jax.lax.dynamic_slice_in_dim(anchor_best, s0, ls),
+                    (0, n_max - ls), constant_values=-jnp.inf)
+            for s0, ls in zip(starts_l, level_sizes)
+        ]
+        stacked = jnp.stack(rows)                       # [L, n_max]
+        a_val, a_idx = jax.vmap(partial(SEL.radix_topk, k=ka))(stacked)
+        g_idx = jnp.clip(
+            jnp.asarray(starts_l, jnp.int32)[:, None] + a_idx,
+            0, raw.shape[0] - 1)                        # [L, ka]
+        sub = raw[g_idx.reshape(-1)].reshape(nl, ka, k)
+        fin_a = jnp.isfinite(a_val.astype(jnp.float32))
+        sub = jnp.where(fin_a[:, :, None], sub,
+                        jnp.asarray(ninf, sub.dtype))
+        kt = min(cfg.topk_candidates, ka * k)
+        topv_l, sub_i = jax.vmap(partial(SEL.radix_topk, k=kt))(
+            sub.reshape(nl, ka * k))                    # [L, kt]
+        arow = jnp.take_along_axis(g_idx, sub_i // k, axis=1)
+        fin = jnp.isfinite(topv_l.astype(jnp.float32))
+        topv = jnp.where(
+            fin, jax.nn.sigmoid(topv_l.astype(jnp.float32) * scale),
+            ninf)
+        scores = jnp.where(fin, topv, 0.0).reshape(-1)
+        labels = (sub_i % k).astype(jnp.int32).reshape(-1)
+        aidx = arow.astype(jnp.int32).reshape(-1)
+        valid = fin.reshape(-1)
+        return scores, labels, aidx, valid
+
     def per_image(logits, reg):
+        if scalar_tfidf and select_mode == "batched":
+            scores, labels, aidx, valid = select_batched(logits)
+            if debug == "select":
+                return (scores, scores, valid.astype(jnp.int32), valid)
+            return _post_select(scores, labels, aidx, valid, reg)
         lvl_aidx, lvl_scores, lvl_labels, lvl_valid = [], [], [], []
         start = 0
         for ls in level_sizes:
@@ -433,6 +582,9 @@ def _retinanet_postprocess(
         labels = jnp.concatenate(lvl_labels, 0)
         aidx = jnp.concatenate(lvl_aidx, 0)
         valid = jnp.concatenate(lvl_valid, 0)
+        return _post_select(scores, labels, aidx, valid, reg)
+
+    def _post_select(scores, labels, aidx, valid, reg):
         if cfg.pre_nms_candidates and \
                 cfg.pre_nms_candidates < scores.shape[0]:
             # one packed gather instead of four (scores/labels/aidx/

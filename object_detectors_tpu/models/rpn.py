@@ -116,7 +116,7 @@ class RPNHead(nn.Module):
 
 @partial(jax.jit, static_argnames=("cfg", "level_sizes", "image_size",
                                    "training", "debug", "fp_chunk",
-                                   "fp_unroll"))
+                                   "fp_unroll", "topk_mode"))
 def filter_proposals(
     proposals: jnp.ndarray,    # [B, A, 4] decoded xyxy
     objectness: jnp.ndarray,   # [B, A]
@@ -127,6 +127,7 @@ def filter_proposals(
     debug: str = "full",
     fp_chunk: int = 256,
     fp_unroll: int = 2,
+    topk_mode: str = "batched",
 ):
     """-> (boxes [B, P, 4], scores [B, P], valid [B, P]) with
     P = post_nms_top_n.
@@ -148,26 +149,66 @@ def filter_proposals(
         # (torchvision batched_nms over level ids), so running the
         # fixed-point NMS level-parallel is exact AND shrinks the IoU
         # problem from [sum_l k_l]^2 to L x [pre_n]^2.
-        sel_boxes, sel_scores = [], []
-        start = 0
-        for ls in level_sizes:
-            ob = jax.lax.dynamic_slice_in_dim(obj, start, ls, 0)
-            pr = jax.lax.dynamic_slice_in_dim(props, start, ls, 0)
-            k = min(pre_n, ls)
-            # exact radix top-k: P2 at 640^2 is 1000-of-76800 (set
-            # selection — the per-level NMS below re-sorts; ties break
-            # lowest-index like torch.topk)
-            topv, topi = SEL.radix_topk(ob, k)
+        #
+        # All levels run ONE vmapped radix_topk over a [-inf]-padded
+        # [L, n_max] stack (r5): the kth-code binary search is a
+        # SEQUENTIAL nbits/2-trip loop, so per-level calls serialized
+        # L of them (80 reduce latencies at bs16/5 levels); batching
+        # trades ~3.7x padded reduce bytes (cheap, bandwidth) for a
+        # single 16-trip chain. Exact: -inf padding codes below every
+        # real float, so each row's top-k set is unchanged; ties stay
+        # lowest-index-first (torch.topk) because padding sits at the
+        # row tail. Box rows come from ONE fused [L*k]-row gather out
+        # of the flat per-image proposals instead of L per-level
+        # gathers (~30ns/row each on the TPU gather engine).
+        n_max = max(level_sizes)
+        starts = [0]
+        for ls in level_sizes[:-1]:
+            starts.append(starts[-1] + ls)
+        if topk_mode == "batched":
+            rows = [
+                jnp.pad(jax.lax.dynamic_slice_in_dim(obj, s0, ls, 0),
+                        (0, n_max - ls), constant_values=-jnp.inf)
+                for s0, ls in zip(starts, level_sizes)
+            ]
+            stacked = jnp.stack(rows)                   # [L, n_max]
+            k = min(pre_n, n_max)
+            topv, topi = jax.vmap(partial(SEL.radix_topk, k=k))(stacked)
             if k < pre_n:
+                nl = len(level_sizes)
                 topv = jnp.concatenate(
-                    [topv, jnp.full((pre_n - k,), -jnp.inf, topv.dtype)])
+                    [topv,
+                     jnp.full((nl, pre_n - k), -jnp.inf, topv.dtype)],
+                    axis=1)
                 topi = jnp.concatenate(
-                    [topi, jnp.zeros((pre_n - k,), topi.dtype)])
-            sel_boxes.append(pr[topi])
-            sel_scores.append(topv)
-            start += ls
-        boxes = jnp.stack(sel_boxes)                    # [L, pre_n, 4]
-        logits = jnp.stack(sel_scores)                  # [L, pre_n]
+                    [topi, jnp.zeros((nl, pre_n - k), topi.dtype)],
+                    axis=1)
+            # level-local -> flat anchor ids; -inf slots may index past
+            # their level (clipped) — their gathered box is masked by
+            # the isfinite keep below.
+            flat_idx = jnp.clip(
+                jnp.asarray(starts, jnp.int32)[:, None] + topi,
+                0, props.shape[0] - 1)
+            boxes = props[flat_idx.reshape(-1)].reshape(
+                len(level_sizes), pre_n, 4)             # [L, pre_n, 4]
+            logits = topv                               # [L, pre_n]
+        else:  # "perlevel" — the r4 path, kept for chip A/Bs
+            sel_boxes, sel_scores = [], []
+            for s0, ls in zip(starts, level_sizes):
+                ob = jax.lax.dynamic_slice_in_dim(obj, s0, ls, 0)
+                pr = jax.lax.dynamic_slice_in_dim(props, s0, ls, 0)
+                k = min(pre_n, ls)
+                topv, topi = SEL.radix_topk(ob, k)
+                if k < pre_n:
+                    topv = jnp.concatenate(
+                        [topv, jnp.full((pre_n - k,), -jnp.inf,
+                                        topv.dtype)])
+                    topi = jnp.concatenate(
+                        [topi, jnp.zeros((pre_n - k,), topi.dtype)])
+                sel_boxes.append(pr[topi])
+                sel_scores.append(topv)
+            boxes = jnp.stack(sel_boxes)                # [L, pre_n, 4]
+            logits = jnp.stack(sel_scores)              # [L, pre_n]
         scores = jax.nn.sigmoid(logits)
 
         boxes = box_ops.clip_boxes_to_image(boxes, image_size)

@@ -222,13 +222,15 @@ def build_yolo_pipeline(num_classes=80, img_size=640, batch_size=64,
 
 def build_retinanet_pipeline(num_classes=91, img_size=640,
                              resnet_layers=(3, 4, 6, 3),
-                             dtype=jnp.bfloat16, uint8_input=False):
+                             dtype=jnp.bfloat16, uint8_input=False,
+                             fused_towers=False):
     from object_detectors_tpu.models import anchors as anchor_lib
     from object_detectors_tpu.models import retinanet as RN
 
     cfg = RN.RetinaNetConfig(num_classes=num_classes)
     model = RN.RetinaNet(num_classes=num_classes,
-                         resnet_layers=tuple(resnet_layers), dtype=dtype)
+                         resnet_layers=tuple(resnet_layers), dtype=dtype,
+                         fused_towers=fused_towers)
     variables = model.init(jax.random.key(0),
                            jnp.zeros((1, img_size, img_size, 3), dtype),
                            train=False)

@@ -243,3 +243,29 @@ def test_fpn_grid_sizes_match_model_features_at_160():
                             zip(ref, got)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=name)
+
+
+def test_fused_towers_match_unfused():
+    """fused_towers=True (joint cls+reg towers: dense layer-1 +
+    grouped block-diagonal layers 2-4) computes the same function as
+    the per-tower packed head, with an identical param tree."""
+    size = 64
+    model_a = R.RetinaNet(num_classes=5, resnet_layers=(1, 1, 1, 1))
+    model_b = R.RetinaNet(num_classes=5, resnet_layers=(1, 1, 1, 1),
+                          fused_towers=True)
+    x = jnp.zeros((1, size, size, 3), jnp.float32)
+    v = model_a.init(jax.random.key(0), x, train=False)
+    vb = model_b.init(jax.random.key(0), x, train=False)
+    # identical param trees (checkpoint compatibility both ways)
+    ta = jax.tree.structure(v)
+    tb = jax.tree.structure(vb)
+    assert ta == tb
+    rng = np.random.RandomState(5)
+    xr = jnp.asarray(rng.rand(2, size, size, 3).astype(np.float32))
+    cls_a, reg_a, ls_a = model_a.apply(v, xr, train=False)
+    cls_b, reg_b, ls_b = model_b.apply(v, xr, train=False)
+    assert ls_a == ls_b
+    np.testing.assert_allclose(np.asarray(cls_a), np.asarray(cls_b),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(reg_a), np.asarray(reg_b),
+                               rtol=1e-5, atol=1e-5)
