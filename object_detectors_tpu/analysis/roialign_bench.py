@@ -127,10 +127,11 @@ def main():
         multiscale_roi_align_bands_grouped,
     )
 
-    def grouped_fn(debug="full", fold="quad"):
+    def grouped_fn(debug="full", fold="quad", xalign=8):
         def f(fs, bx):
             return jnp.sum(multiscale_roi_align_bands_grouped(
-                fs, bx, img, (7, 7), debug=debug, fold=fold))
+                fs, bx, img, (7, 7), debug=debug, fold=fold,
+                xalign=xalign))
         return f
 
     def hybrid_grouped(fs, bx):
@@ -171,6 +172,13 @@ def main():
         "hybrid_bands": hybrid_bands,
         "grouped": grouped_fn(),
         "grouped_rows": grouped_fn(fold="rows"),
+        # 16-aligned window reads: bf16 (16,128)-tile-aligned dynamic
+        # sublane slices (r5 A/B — is the 8-aligned read paying the
+        # half-tile relayout?)
+        "grouped_rows_a16": grouped_fn(fold="rows", xalign=16),
+        "grouped_a16_dma": grouped_fn(debug="dma_only", xalign=16),
+        "grouped_a16_compute": grouped_fn(debug="compute_only",
+                                          fold="rows", xalign=16),
         "grouped_wide": grouped_fn(fold="wide"),
         "grouped_wide_compute": grouped_fn(debug="compute_only",
                                            fold="wide"),

@@ -276,16 +276,26 @@ def _roi_align_kernel(wins_ref, geom_ref, canvas_ref, out_ref,
                     ).astype(out_ref.dtype)
 
 
-def _prep(features, boxes, image_size, oh, ow, s):
+def _prep(features, boxes, image_size, oh, ow, s, xalign=8):
     """Shared geometry: canvas + per-roi window descriptors.
 
     Returns (canvas, wins [M,2] i32, geom [M,8] f32, overflow [M] bool)
-    with M = B*N rois flattened."""
+    with M = B*N rois flattened.
+
+    ``xalign``: column-origin alignment. 8 matches the HBM DMA sublane
+    constraint; 16 additionally aligns the in-VMEM window reads to the
+    bf16 (16, 128) tile grid (each tier reads xalign-8 extra columns) —
+    dynamically-indexed bf16 sublane slices at half-tile offsets pay a
+    (2,1)-packing relayout (the r3 scratch-dtype gotcha, read side)."""
     bsz = boxes.shape[0]
     n = boxes.shape[1]
     num_levels = len(features)
     c = features[0].shape[-1]
-    w_max = max(max(f.shape[2] for f in features), BUF_COLS)
+    xtra = xalign - 8
+    # +xtra width: a 16-aligned-down origin at the right edge reads
+    # xtra columns past the level width — keep it inside the canvas
+    w_max = max(max(f.shape[2] for f in features) + xtra,
+                BUF_COLS + xtra)
 
     per_img_rows = sum(f.shape[1] for f in features)
     canvas = jnp.concatenate([
@@ -325,7 +335,7 @@ def _prep(features, boxes, image_size, oh, ow, s):
     def origin(f0, lim, h, w_aligned):
         o = jnp.clip(f0, 0.0, jnp.maximum(lim - h, 0.0))
         if w_aligned:  # column origins align DOWN to the sublane tile
-            o = jnp.floor(o / 8.0) * 8.0
+            o = jnp.floor(o / xalign) * xalign
         return o
 
     span = (oh - 1 + (s - 0.5) / s - 0.5 / s)  # sample span in bins
@@ -343,7 +353,7 @@ def _prep(features, boxes, image_size, oh, ow, s):
         rows_c.append(r_t)
         cols_c.append(c_t)
         fits.append(~(overflow(first_y, r_t, bin_h, hl, th)
-                      | overflow(first_x, c_t, bin_w, wl, tw)))
+                      | overflow(first_x, c_t, bin_w, wl, tw + xtra)))
     ovr = ~(fits[0] | fits[1] | fits[2] | fits[3] | fits[4])
 
     # smallest covering tier: small(2) < mid(1) < big(0) < tall(3)/
@@ -891,7 +901,7 @@ SUBR = BAND_R // NSPLIT
 def _band_group_kernel(gdesc_ref, rdesc_ref, geom_ref, canvas_ref,
                        out_ref, band_buf, sems, *, c, oh, ow, srat,
                        band_w, debug="full", fold="rows",
-                       g_rois=GROUP):
+                       g_rois=GROUP, xalign=8):
     """One grid step = GROUP RoIs of ONE band (prep pads each band's
     RoI list to a multiple of GROUP, so steps never straddle bands).
 
@@ -945,10 +955,11 @@ def _band_group_kernel(gdesc_ref, rdesc_ref, geom_ref, canvas_ref,
         out_ref[...] = jnp.zeros((g_rois, oh, ow, c), out_ref.dtype)
         return
 
+    xtra = xalign - 8
     for j in range(g_rois):
         i = g * g_rois + j
         tier = rdesc_ref[3 * i]
-        wcol = pl.multiple_of(rdesc_ref[3 * i + 1], 8)
+        wcol = pl.multiple_of(rdesc_ref[3 * i + 1], xalign)
         roff = rdesc_ref[3 * i + 2]
         y1 = geom_ref[8 * i]
         x1 = geom_ref[8 * i + 1]
@@ -965,7 +976,7 @@ def _band_group_kernel(gdesc_ref, rdesc_ref, geom_ref, canvas_ref,
 
         groups = {}
         for t, (_, twd) in enumerate(TIERS):
-            groups.setdefault(twd, []).append(t)
+            groups.setdefault(twd + xtra, []).append(t)
 
         for twd, tiers in groups.items():
             pred = tier == tiers[0]
@@ -1082,14 +1093,14 @@ def _band_group_kernel(gdesc_ref, rdesc_ref, geom_ref, canvas_ref,
 
 
 def _prep_bands_grouped(features, boxes, image_size, oh, ow, s,
-                        g_rois=GROUP):
+                        g_rois=GROUP, xalign=8):
     """Grouped-band descriptors: RoIs sort by 64-row canvas band
     (stride 32; 16 for the tall tier), each band's run is padded to a
     multiple of ``g_rois`` so every grid step lives in one band, and
     per-GROUP descriptors carry the DMA bookkeeping.
 
     Returns (canvas, gdesc, rdesc, geom, dest_of_orig, ovr)."""
-    prep = _prep(features, boxes, image_size, oh, ow, s)
+    prep = _prep(features, boxes, image_size, oh, ow, s, xalign=xalign)
     canvas, wins, geom, ovr = prep
     n = ovr.shape[0]
     wins2 = wins.reshape(n, 3)
@@ -1175,7 +1186,7 @@ def _prep_bands_grouped(features, boxes, image_size, oh, ow, s,
 
 @partial(jax.jit, static_argnames=("output_size", "sampling_ratio",
                                    "image_size", "interpret", "debug",
-                                   "fold", "return_overflow"))
+                                   "fold", "return_overflow", "xalign"))
 def multiscale_roi_align_bands_grouped(
     features: Sequence[jnp.ndarray],   # per level [B, H_l, W_l, C]
     boxes: jnp.ndarray,                # [B, N, 4] xyxy image coords
@@ -1187,16 +1198,18 @@ def multiscale_roi_align_bands_grouped(
     debug: str = "full",
     fold: str = "rows",
     return_overflow: bool = False,
+    xalign: int = 8,
 ) -> jnp.ndarray:
     """Grouped band-sorted pooler: -> [B, N, oh, ow, C]. Same coverage
     and overflow semantics as :func:`multiscale_roi_align_bands`
-    (route through the hybrid for exact extreme-aspect handling)."""
+    (route through the hybrid for exact extreme-aspect handling).
+    ``xalign=16`` aligns window reads to the bf16 tile grid (_prep)."""
     bsz, n = boxes.shape[:2]
     c = features[0].shape[-1]
     oh, ow = output_size
     if prep is None:
         prep = _prep_bands_grouped(features, boxes, image_size, oh, ow,
-                                   sampling_ratio)
+                                   sampling_ratio, xalign=xalign)
     canvas, gdesc, rdesc, geom_p, dest_of_orig, ovr = prep
     band_w = canvas.shape[1]
     np_total = rdesc.shape[0] // 3
@@ -1214,7 +1227,7 @@ def multiscale_roi_align_bands_grouped(
     )
     kernel = partial(_band_group_kernel, c=c, oh=oh, ow=ow,
                      srat=sampling_ratio, band_w=band_w, debug=debug,
-                     fold=fold)
+                     fold=fold, xalign=xalign)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((np_total, oh, ow, c),
@@ -1257,15 +1270,29 @@ def multiscale_roi_align_hybrid(
     bsz, n = boxes.shape[:2]
     oh, ow = output_size
     s = sampling_ratio
+    # "@"-suffix knobs for IN-GRAPH stage attribution and alignment
+    # A/Bs (analysis/frcnn_ablate.py full_pooler_* stages):
+    # "bands_grouped@dma_only", "@compute_only", "@xalign16".
+    debug = "full"
+    xalign = 8
+    if "@" in mode:
+        mode, knobs = mode.split("@", 1)
+        for knob in knobs.split(","):
+            if knob in ("dma_only", "compute_only"):
+                debug = knob
+            elif knob.startswith("xalign"):
+                xalign = int(knob[len("xalign"):])
+            elif knob == "nofix":
+                fixup_capacity = 0  # strip the gather repool (timing)
     if (mode in ("bands", "bands_grouped")
             and not bands_fit_vmem(features)):
         mode = "tiled"  # wide canvas: band buffers would blow VMEM
     if mode == "bands_grouped":
         prep = _prep_bands_grouped(features, boxes, image_size, oh, ow,
-                                   s)
+                                   s, xalign=xalign)
         out = multiscale_roi_align_bands_grouped(
             features, boxes, image_size, output_size, s,
-            interpret=interpret, prep=prep)
+            interpret=interpret, prep=prep, debug=debug, xalign=xalign)
     elif mode == "bands":
         prep = _prep_bands(features, boxes, image_size, oh, ow, s)
         out = multiscale_roi_align_bands(

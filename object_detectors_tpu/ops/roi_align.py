@@ -464,6 +464,10 @@ def pool_multiscale(features, boxes, image_size, output_size=(7, 7),
             mode = "bands_grouped"
         elif method.startswith("pallas_bands"):
             mode = "bands"
+        if "@" in method:
+            # carry "@knob" suffixes (dma_only/compute_only/xalignN)
+            # to the hybrid for in-graph attribution A/Bs
+            mode += "@" + method.split("@", 1)[1]
         # SMEM holds the per-RoI scalar-prefetch descriptors (11 words/
         # RoI); v5e SMEM is 1 MiB, so >~16k RoIs per kernel OOMs at
         # compile (bs32 x 1000 proposals did). Chunk the BATCH dim —

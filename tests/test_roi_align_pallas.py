@@ -274,6 +274,14 @@ def test_grouped_band_pooler_matches_reference():
         feats, bj, (256, 256), (7, 7), interpret=True, fold="wide")
     np.testing.assert_allclose(np.asarray(ref), np.asarray(wide),
                                rtol=1e-4, atol=1e-5)
+    # xalign=16 (bf16-tile-aligned window reads, +8-wide tiers) reads a
+    # wider window at a coarser-aligned origin — same samples, same
+    # result
+    a16 = multiscale_roi_align_bands_grouped(
+        feats, bj, (256, 256), (7, 7), interpret=True, fold="rows",
+        xalign=16)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(a16),
+                               rtol=1e-4, atol=1e-5)
 
 
 def test_hybrid_grouped_exact_with_extreme_aspects():
