@@ -112,6 +112,31 @@ def build_pipeline_uint8(num_classes=80, img_size=640, topk=256,
     return infer
 
 
+# TPU v5e bf16 peak (197 TFLOP/s); override for other chips.
+PEAK_FLOPS = float(os.environ.get("TPU_PEAK_FLOPS", 197e12))
+
+
+def _graph_flops(infer, *example):
+    """Optimized-HLO FLOP count of the jitted graph (XLA cost
+    analysis) — the numerator for per-config MFU (VERDICT r4 item 7:
+    judge perf rounds on utilization headroom, not just img/s)."""
+    try:
+        c = jax.jit(infer).lower(*example).compile()
+        ca = c.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        fl = float(ca.get("flops", 0.0))
+        return fl if fl > 0 else None
+    except Exception:
+        return None
+
+
+def _mfu(flops, dt):
+    if flops is None or not dt:
+        return None
+    return round(flops / dt / PEAK_FLOPS, 4)
+
+
 def _timed_stream(infer, host_batches, warmup=2, iters=10):
     """Cycle DISTINCT pre-staged uint8 device batches, dispatch
     back-to-back, one final host read.
@@ -156,8 +181,10 @@ def run(batch_sizes=(64,), img_size=640, warmup=2, iters=10,
         dt = _timed_stream(infer, batches, warmup, iters)
         ips = bs / dt
         results[bs] = ips
+        if ips >= best:
+            best_mfu = _mfu(_graph_flops(infer, batches[0]), dt)
         best = max(best, ips)
-    return best, results
+    return best, results, best_mfu
 
 
 def run_train_step(bs=128, img_size=416, warmup=2, iters=10):
@@ -206,11 +233,14 @@ def run_train_step(bs=128, img_size=416, warmup=2, iters=10):
     s = float(np.asarray(loss))
     dt = (time.perf_counter() - t0) / iters
     del s
-    return bs / dt
+    return bs / dt, _mfu(_graph_flops(step, st, batches[0]), dt)
 
 
-def run_retinanet(bs=16, img_size=640, warmup=2, iters=8):
-    """BASELINE config 2: RetinaNet R50-FPN eval, uint8 e2e."""
+def run_retinanet(bs=32, img_size=640, warmup=2, iters=8):
+    """BASELINE config 2: RetinaNet R50-FPN eval, uint8 e2e.
+
+    bs=32 (r5): measured 395.0 vs 384.8 at bs16 in the r4 chip queue
+    (BASELINE.md r4 appendix) — the head/backbone amortize further."""
     from object_detectors_tpu.serve import build_retinanet_pipeline
 
     infer = build_retinanet_pipeline(img_size=img_size, uint8_input=True)
@@ -218,7 +248,7 @@ def run_retinanet(bs=16, img_size=640, warmup=2, iters=8):
     batches = [rng.randint(0, 255, (bs, img_size, img_size, 3),
                            dtype=np.uint8) for _ in range(3)]
     dt = _timed_stream(infer, batches, warmup, iters)
-    return bs / dt
+    return bs / dt, _mfu(_graph_flops(infer, batches[0]), dt)
 
 
 def run_frcnn(bs=16, img_size=640, warmup=2, iters=8,
@@ -242,7 +272,7 @@ def run_frcnn(bs=16, img_size=640, warmup=2, iters=8,
                            dtype=np.uint8) for _ in range(3)]
     infer_v = lambda x: infer(x, variables)  # noqa: E731
     dt = _timed_stream(infer_v, batches, warmup, iters)
-    return bs / dt
+    return bs / dt, _mfu(_graph_flops(infer, batches[0], variables), dt)
 
 
 def run_yolo_lvis(bs=16, img_size=416, warmup=2, iters=8,
@@ -294,7 +324,7 @@ def run_yolo_lvis(bs=16, img_size=416, warmup=2, iters=8,
                            dtype=np.uint8) for _ in range(3)]
     infer_v = lambda x: infer(x, variables)  # noqa: E731
     dt = _timed_stream(infer_v, batches, warmup, iters)
-    return bs / dt
+    return bs / dt, _mfu(_graph_flops(infer, batches[0], variables), dt)
 
 
 def run_serving(n_requests=256, img_size=640, yolo_bs=64, retina_bs=16):
@@ -337,7 +367,7 @@ def run_serving(n_requests=256, img_size=640, yolo_bs=64, retina_bs=16):
 
 
 def run_nms_latency(bs=512, n_cand=256, max_det=100, num_classes=80,
-                    iters=20):
+                    iters=20, unroll=2):
     """BASELINE named metric: p50 NMS latency per image. Times the
     batched majority-vote NMS (the YOLO production variant) standalone
     on device-resident candidates; reports the median per-iteration
@@ -378,7 +408,7 @@ def run_nms_latency(bs=512, n_cand=256, max_det=100, num_classes=80,
 
     f = jax.jit(jax.vmap(lambda b, s, c: N.nms_majority(
         b, s, c, num_classes=num_classes, iou_threshold=0.6,
-        max_output=max_det)))
+        max_output=max_det, unroll=unroll)))
 
     results = {}
     for name, gen in (("uniform", uniform), ("clustered", clustered),
@@ -540,20 +570,24 @@ def main():
     if args.quick:
         wanted = args.configs or ["yolo640"]
     configs = {}
-    best, results = run(sizes, args.img_size,
-                        uint8=not args.device_resident)
+    best, results, ymfu = run(sizes, args.img_size,
+                              uint8=not args.device_resident)
     configs["yolo640"] = {
-        "value": round(best, 2),
+        "value": round(best, 2), "mfu": ymfu,
         "per_batch": {str(k): round(v, 2) for k, v in results.items()}}
     if "retinanet640" in wanted:
-        configs["retinanet640"] = {"value": round(run_retinanet(), 2)}
+        v, m = run_retinanet()
+        configs["retinanet640"] = {"value": round(v, 2), "mfu": m}
     if "frcnn640" in wanted:
-        configs["frcnn640"] = {"value": round(run_frcnn(), 2)}
+        v, m = run_frcnn()
+        configs["frcnn640"] = {"value": round(v, 2), "mfu": m}
     if "yolo_lvis416" in wanted:
-        configs["yolo_lvis416"] = {"value": round(run_yolo_lvis(), 2)}
+        v, m = run_yolo_lvis()
+        configs["yolo_lvis416"] = {"value": round(v, 2), "mfu": m}
     if "train_step" in wanted or (args.configs is None
                                   and not args.quick):
-        configs["yolo_train416"] = {"value": round(run_train_step(), 2)}
+        v, m = run_train_step()
+        configs["yolo_train416"] = {"value": round(v, 2), "mfu": m}
     if not args.quick:
         nms_res = run_nms_latency()
         configs["nms_p50_latency"] = {

@@ -318,7 +318,7 @@ def batched_nms(
 
 
 def _majority_nms_fixedpoint(boxes, scores, labels_in, num_classes,
-                             iou_threshold, max_output):
+                             iou_threshold, max_output, unroll=2):
     """Majority-vote NMS via the fixed-point kept set + post-hoc cluster
     assignment. Exactly reproduces the sequential scan: a suppressed box
     belongs to the cluster of the FIRST kept box (score order) that
@@ -349,11 +349,14 @@ def _majority_nms_fixedpoint(boxes, scores, labels_in, num_classes,
     def body(state):
         kept, _, it = state
         new_kept = kept
-        for _ in range(2):  # unroll: halves while-trip overhead (exact,
-            # see _fixedpoint_keep — the map is identity at convergence)
+        for _ in range(unroll):  # unroll: divides while-trip overhead
+            # (exact, see _fixedpoint_keep — the map is identity at
+            # convergence). Default 2; deep adversarial chains (depth
+            # ~N) are trip-bound, where a larger unroll trades cheap
+            # extra matvecs for proportionally fewer trips.
             suppressed = (supf @ new_kept.astype(jnp.bfloat16)) > 0.5
             new_kept = alive & ~suppressed
-        return new_kept, jnp.any(new_kept != kept), it + 2
+        return new_kept, jnp.any(new_kept != kept), it + unroll
 
     kept, _, _ = jax.lax.while_loop(
         cond, body, (alive, jnp.array(True), jnp.zeros((), jnp.int32)))
@@ -423,7 +426,7 @@ def _majority_nms_scan(boxes, scores, labels_in, num_classes,
 
 
 @partial(jax.jit, static_argnames=("iou_threshold", "max_output",
-                                   "num_classes", "method"))
+                                   "num_classes", "method", "unroll"))
 def nms_majority(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
@@ -433,6 +436,7 @@ def nms_majority(
     max_output: int = 100,
     valid: jnp.ndarray | None = None,
     method: str = "auto",
+    unroll: int = 2,
 ):
     """Majority-vote NMS (`yolo/utilities/helper.py:280-382`).
 
@@ -452,7 +456,8 @@ def nms_majority(
         method = "fixedpoint"
     if method == "fixedpoint":
         return _majority_nms_fixedpoint(boxes, s, labels_in, num_classes,
-                                        iou_threshold, max_output)
+                                        iou_threshold, max_output,
+                                        unroll=unroll)
     return _majority_nms_scan(boxes, s, labels_in, num_classes,
                               iou_threshold, max_output)
 
