@@ -236,14 +236,18 @@ def run_train_step(bs=128, img_size=416, warmup=2, iters=10):
     return bs / dt, _mfu(_graph_flops(step, st, batches[0]), dt)
 
 
-def run_retinanet(bs=32, img_size=640, warmup=2, iters=8):
+def run_retinanet(bs=16, img_size=640, warmup=2, iters=8,
+                  select_mode="perlevel"):
     """BASELINE config 2: RetinaNet R50-FPN eval, uint8 e2e.
 
-    bs=32 (r5): measured 395.0 vs 384.8 at bs16 in the r4 chip queue
-    (BASELINE.md r4 appendix) — the head/backbone amortize further."""
+    bs=16: the serve-pipeline A/B on a quiet chip (queue_r5d) read
+    bs16 337.5 > bs32 328.5 with the batched select; the r4f "bs32
+    395.0" row did not reproduce. select_mode default follows the
+    r5e serve-pipeline A/B (batched vs perlevel)."""
     from object_detectors_tpu.serve import build_retinanet_pipeline
 
-    infer = build_retinanet_pipeline(img_size=img_size, uint8_input=True)
+    infer = build_retinanet_pipeline(img_size=img_size, uint8_input=True,
+                                     select_mode=select_mode)
     rng = np.random.RandomState(1)
     batches = [rng.randint(0, 255, (bs, img_size, img_size, 3),
                            dtype=np.uint8) for _ in range(3)]

@@ -182,9 +182,19 @@ def build_stages(size, dtype, pooler="auto"):
                 pooler_mode="pallas_bands_grouped@xalign16"),
             # hybrid WITHOUT the unconditional 16-RoI/img XLA-gather
             # fixup repool (prime suspect for the in-graph 16.4 ms vs
-            # isolated 9.3 ms gap: ~50k gather rows x ~30ns)
+            # isolated 9.3 ms gap: ~50k gather rows x ~30ns).
+            # MEASURED: exonerated (queue_r5d: 56.7 vs 56.8 full)
             "full_nofix": partial(
                 _full_pieces, pooler_mode="pallas_bands_grouped@nofix"),
+            # prep (descriptor sort/scatter chains + canvas) only, and
+            # kernel-without-unpermute — the remaining in-graph
+            # attribution after nofix came back null
+            "full_prep_only": partial(
+                _full_pieces,
+                pooler_mode="pallas_bands_grouped@prep_only"),
+            "full_noperm": partial(
+                _full_pieces,
+                pooler_mode="pallas_bands_grouped@noperm"),
             }
 
 

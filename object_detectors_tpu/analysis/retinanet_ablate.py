@@ -94,7 +94,7 @@ def build_stages(size, dtype, num_classes=91):
             grids=tuple(grids))
         return jnp.sum(out[0]) + jnp.sum(out[1])
 
-    def post_stage(debug, select_mode="batched"):
+    def post_stage(debug, select_mode="perlevel"):
         def fn(images):
             cls, reg, level_sizes = model.apply(variables, images,
                                                 train=False)
@@ -117,12 +117,12 @@ def build_stages(size, dtype, num_classes=91):
             "head_fused": lambda im: plus_head(im, fused=True),
             "full_fused": full_fused,
             "post_select": post_stage("select"),
-            "post_select_perlevel": post_stage("select",
-                                               select_mode="perlevel"),
+            "post_select_batched": post_stage("select",
+                                              select_mode="batched"),
             "post_decode": post_stage("decode"),
             "post_cap": post_stage("cap"),
-            "full_perlevel": post_stage("full",
-                                        select_mode="perlevel"),
+            "full_batched": post_stage("full",
+                                       select_mode="batched"),
             "full": full}
 
 

@@ -1213,6 +1213,20 @@ def multiscale_roi_align_bands_grouped(
     canvas, gdesc, rdesc, geom_p, dest_of_orig, ovr = prep
     band_w = canvas.shape[1]
     np_total = rdesc.shape[0] // 3
+    if debug == "prep_only":
+        # in-graph attribution: descriptors + canvas built (kept live
+        # by the 1e-30 sums — XLA won't fold float x*0), kernel and
+        # unpermute skipped. Costs one extra full canvas read.
+        keep = (jnp.sum(canvas.astype(jnp.float32))
+                + jnp.sum(gdesc.astype(jnp.float32))
+                + jnp.sum(rdesc.astype(jnp.float32))
+                + jnp.sum(geom_p.astype(jnp.float32))
+                + jnp.sum(dest_of_orig.astype(jnp.float32)))
+        pooled = jnp.zeros((bsz, n, oh, ow, c), canvas.dtype)
+        pooled += (keep * 1e-30).astype(canvas.dtype)
+        if return_overflow:
+            return pooled, ovr.reshape(bsz, n)
+        return pooled
     ng = np_total // GROUP
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -1226,7 +1240,8 @@ def multiscale_roi_align_bands_grouped(
         ],
     )
     kernel = partial(_band_group_kernel, c=c, oh=oh, ow=ow,
-                     srat=sampling_ratio, band_w=band_w, debug=debug,
+                     srat=sampling_ratio, band_w=band_w,
+                     debug="full" if debug == "noperm" else debug,
                      fold=fold, xalign=xalign)
     out = pl.pallas_call(
         kernel,
@@ -1235,7 +1250,12 @@ def multiscale_roi_align_bands_grouped(
         grid_spec=grid_spec,
         interpret=interpret,
     )(gdesc, rdesc, geom_p, canvas)
-    pooled = out[dest_of_orig].reshape(bsz, n, oh, ow, c)
+    if debug == "noperm":
+        # attribution: skip the [B*N]-row unpermute gather (outputs in
+        # band-sorted padded order — WRONG values, timing only)
+        pooled = out[:bsz * n].reshape(bsz, n, oh, ow, c)
+    else:
+        pooled = out[dest_of_orig].reshape(bsz, n, oh, ow, c)
     if return_overflow:
         return pooled, ovr.reshape(bsz, n)
     return pooled
@@ -1278,7 +1298,8 @@ def multiscale_roi_align_hybrid(
     if "@" in mode:
         mode, knobs = mode.split("@", 1)
         for knob in knobs.split(","):
-            if knob in ("dma_only", "compute_only"):
+            if knob in ("dma_only", "compute_only", "prep_only",
+                        "noperm"):
                 debug = knob
             elif knob.startswith("xalign"):
                 xalign = int(knob[len("xalign"):])

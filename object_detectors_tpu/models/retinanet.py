@@ -347,7 +347,7 @@ def retinanet_postprocess(
     cfg: RetinaNetConfig,
     tfidf_post: jnp.ndarray | float = 1.0,
     grids: tuple | None = None,
-    select_mode: str = "batched",
+    select_mode: str = "perlevel",
 ):
     """[B] static-shape detections: (boxes [B,D,4], scores [B,D],
     labels [B,D], valid [B,D]) with D = detections_per_img.
@@ -422,7 +422,7 @@ def _retinanet_postprocess(
     cls_logits, bbox_reg, anchors, level_sizes, image_size,
     cfg: RetinaNetConfig, tfidf_post, static_tfidf: float | None,
     debug: str = "full", grids: tuple | None = None,
-    select_mode: str = "batched",
+    select_mode: str = "perlevel",
 ):
     """``debug`` truncates the pipeline for stage attribution in
     analysis/retinanet_ablate.py: "select" stops after the per-level
@@ -445,20 +445,20 @@ def _retinanet_postprocess(
     ninf = -jnp.inf
 
     def select_batched(logits):
-        """All levels in ONE two-stage radix select (r5).
+        """All levels in ONE two-stage radix select (r5) — MEASURED
+        LOSER, kept for the A/B record (select_mode defaults
+        "perlevel").
 
-        The per-level loop issued 2 radix_topk calls per level = 10 per
-        image; each is a SEQUENTIAL nbits/2-trip reduce chain, so the
-        level loop serialized ~160 latency-bound trips (the true select
-        marginal at bs16 640² was ~9.4 ms once the reg-tower DCE in the
-        stage harness was accounted for). Stacking the per-level
-        anchor-max rows into a [-inf]-padded [L, n_max] array and
-        vmapping both radix stages runs the same 32 trips ONCE for all
-        levels (and all images, via the outer vmap). Exact: -inf pads
-        sit at each row's tail (ties stay lowest-index-first) and the
-        top-k SET per level is unchanged; levels with fewer than k real
-        candidates surface -inf slots that the validity mask drops —
-        same semantics as the old per-level short-k padding.
+        Stacks the per-level anchor-max rows into a [-inf]-padded
+        [L, n_max] array and vmaps both radix stages, trading the L
+        serialized kth-code trip chains of the per-level loop for a
+        single chain over 3.6× padded bytes. Exact either way (-inf
+        pads sit at each row's tail, ties stay lowest-index-first, the
+        per-level top-k SET is unchanged) — but on the full serve
+        pipeline at bs16 640² it measured 339.3 img/s vs 382.3 for
+        the per-level loop (queue_r5e, BASELINE.md r5 appendix): the
+        padded rows are reduce-bandwidth-bound, the same shape of loss
+        as the RPN filter's batched topk (queue_r5d).
         """
         if static_pos:
             raw = jnp.where(

@@ -127,7 +127,7 @@ def filter_proposals(
     debug: str = "full",
     fp_chunk: int = 256,
     fp_unroll: int = 2,
-    topk_mode: str = "batched",
+    topk_mode: str = "perlevel",
 ):
     """-> (boxes [B, P, 4], scores [B, P], valid [B, P]) with
     P = post_nms_top_n.
@@ -150,17 +150,15 @@ def filter_proposals(
         # fixed-point NMS level-parallel is exact AND shrinks the IoU
         # problem from [sum_l k_l]^2 to L x [pre_n]^2.
         #
-        # All levels run ONE vmapped radix_topk over a [-inf]-padded
-        # [L, n_max] stack (r5): the kth-code binary search is a
-        # SEQUENTIAL nbits/2-trip loop, so per-level calls serialized
-        # L of them (80 reduce latencies at bs16/5 levels); batching
-        # trades ~3.7x padded reduce bytes (cheap, bandwidth) for a
-        # single 16-trip chain. Exact: -inf padding codes below every
-        # real float, so each row's top-k set is unchanged; ties stay
-        # lowest-index-first (torch.topk) because padding sits at the
-        # row tail. Box rows come from ONE fused [L*k]-row gather out
-        # of the flat per-image proposals instead of L per-level
-        # gathers (~30ns/row each on the TPU gather engine).
+        # topk_mode="batched" stacks all levels into one -inf-padded
+        # [L, n_max] array and vmaps both radix stages (one 16-trip
+        # kth-code chain instead of L). Exact either way, but MEASURED
+        # LOSER here (queue_r5d: filter_topk 30.6 vs perlevel 28.6 ms
+        # cumulative at bs16 640²): the RPN objectness rows are huge
+        # (P2 alone is 76.8k), so the 3.7x padded reduce bytes cost
+        # more than the saved trip latency. The default stays
+        # "perlevel" (RetinaNet's batched select lost its serve-
+        # pipeline A/B too: 339.3 vs 382.3 img/s, queue_r5e).
         n_max = max(level_sizes)
         starts = [0]
         for ls in level_sizes[:-1]:

@@ -269,3 +269,31 @@ def test_fused_towers_match_unfused():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(reg_a), np.asarray(reg_b),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_batched_select_matches_perlevel():
+    """select_mode="batched" (the r5 A/B knob, measured loser on the
+    serve pipeline but kept for the record) must stay numerically
+    identical to the production per-level select on dense random
+    logits with ties and sub-threshold rows."""
+    num_classes = 6
+    cfg = R.RetinaNetConfig(num_classes=num_classes, score_thresh=0.3,
+                            detections_per_img=12, topk_candidates=40)
+    sizes, ars = A.retinanet_anchor_config()
+    grids = [(8, 8), (4, 4), (2, 2), (1, 1), (1, 1)]
+    anchors = jnp.asarray(A.grid_anchors((64, 64), grids, sizes, ars))
+    level_sizes = tuple(h * w * 9 for h, w in grids)
+    total = sum(level_sizes)
+    rng = np.random.RandomState(11)
+    cls = rng.randn(2, total, num_classes).astype(np.float32) * 2.0
+    cls[1, : level_sizes[0]] = -9.0  # whole level below threshold
+    reg = (rng.randn(2, total, 4) * 0.1).astype(np.float32)
+    outs = {}
+    for mode in ("perlevel", "batched"):
+        outs[mode] = R.retinanet_postprocess(
+            jnp.asarray(cls), jnp.asarray(reg), anchors, level_sizes,
+            (64, 64), cfg, select_mode=mode)
+    for a, b, name in zip(outs["perlevel"], outs["batched"],
+                          ("boxes", "scores", "labels", "valid")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6, err_msg=name)

@@ -343,3 +343,28 @@ def test_resnet_stem4_same_params_and_output_as_fallback():
     assert fodd[0].shape[1] == fodd[0].shape[2] == 17
     assert np.isfinite(np.asarray(f4[-1])).all()
     assert np.isfinite(np.asarray(fodd[-1])).all()
+
+
+def test_rpn_filter_batched_topk_matches_perlevel():
+    """topk_mode="batched" (r5 A/B knob, measured loser at RPN row
+    sizes but kept for the record) must produce identical proposals to
+    the production per-level radix top-k."""
+    cfg = RPN.RPNConfig(pre_nms_top_n_test=24, post_nms_top_n_test=12)
+    level_sizes = (16 * 16 * 3, 8 * 8 * 3, 4 * 4 * 3)
+    total = sum(level_sizes)
+    rng = np.random.RandomState(3)
+    props = rng.rand(2, total, 4).astype(np.float32) * 60
+    props = np.concatenate([
+        np.minimum(props[..., :2], props[..., 2:]),
+        np.maximum(props[..., :2], props[..., 2:]) + 2.0], -1)
+    obj = rng.randn(2, total).astype(np.float32)
+    obj[0, :7] = 3.0  # exact score ties exercise lowest-index breaks
+    outs = {}
+    for mode in ("perlevel", "batched"):
+        outs[mode] = RPN.filter_proposals(
+            jnp.asarray(props), jnp.asarray(obj), level_sizes,
+            (64, 64), cfg, training=False, topk_mode=mode)
+    for a, b, name in zip(outs["perlevel"], outs["batched"],
+                          ("boxes", "scores", "valid")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6, err_msg=name)
