@@ -195,6 +195,14 @@ def build_stages(size, dtype, pooler="auto"):
             "full_noperm": partial(
                 _full_pieces,
                 pooler_mode="pallas_bands_grouped@noperm"),
+            # r4 argsort+scatter prep vs the r5 sort-free default
+            # (queue_r5e: prep marginal was 6.2 ms of the 16.2)
+            "full_oldprep": partial(
+                _full_pieces,
+                pooler_mode="pallas_bands_grouped@oldprep"),
+            "full_prep_only_old": partial(
+                _full_pieces,
+                pooler_mode="pallas_bands_grouped@prep_only,oldprep"),
             }
 
 

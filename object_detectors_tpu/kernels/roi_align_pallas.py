@@ -1093,11 +1093,23 @@ def _band_group_kernel(gdesc_ref, rdesc_ref, geom_ref, canvas_ref,
 
 
 def _prep_bands_grouped(features, boxes, image_size, oh, ow, s,
-                        g_rois=GROUP, xalign=8):
+                        g_rois=GROUP, xalign=8, legacy=False):
     """Grouped-band descriptors: RoIs sort by 64-row canvas band
     (stride 32; 16 for the tall tier), each band's run is padded to a
     multiple of ``g_rois`` so every grid step lives in one band, and
     per-GROUP descriptors carry the DMA bookkeeping.
+
+    r5: the padded-position layout is built SCATTER-FREE — TPU
+    scatters/gathers serialize per row (~30ns+), and the in-graph prep
+    marginal measured 6.2 ms at bs16 512 RoIs (queue_r5e
+    full_prep_only), dominating the pooler's non-kernel cost. Band
+    counts come from one [nbs, n] compare-sum instead of scatter-adds,
+    and the hole padding comes from sorting the n real RoIs together
+    with explicitly-minted per-band hole rows (band b mints
+    padded_b - counts_b holes keyed just after its reals), so ONE
+    stable multi-operand lax.sort emits every field already at its
+    padded position. ``legacy=True`` keeps the r4 argsort+scatter
+    path for the chip A/B record.
 
     Returns (canvas, gdesc, rdesc, geom, dest_of_orig, ovr)."""
     prep = _prep(features, boxes, image_size, oh, ow, s, xalign=xalign)
@@ -1121,12 +1133,82 @@ def _prep_bands_grouped(features, boxes, image_size, oh, ow, s,
     trow = jnp.minimum(crow0 // sr * sr, rtot - BAND_R)
     roff = crow0 - trow                     # window start within band
 
-    perm = jnp.argsort(trow)                # band-sorted RoIs
-    ks = trow[perm]
-
     # band "slot" index on the static 16-row grid (trow is always a
     # multiple of 16) bounds the number of distinct bands.
     nbs = rtot // 16 + 1
+    np_total = (n + nbs * (g_rois - 1) + g_rois - 1) // g_rois * g_rois
+    ng = np_total // g_rois
+
+    if not legacy:
+        bslot = trow // 16                                  # [n]
+        iota_b = jnp.arange(nbs, dtype=jnp.int32)
+        # one vectorized [nbs, n] compare-sum replaces the scatter-add
+        counts = jnp.sum(
+            (bslot[None, :] == iota_b[:, None]).astype(jnp.int32),
+            axis=1)
+        padded = (counts + g_rois - 1) // g_rois * g_rois
+        # mint padded_b - counts_b (< g_rois) hole rows per band, keyed
+        # 2*b+1 (after band b's reals at 2*b); non-existent holes and
+        # the static tail sort to the end with key BIG and trow -1, so
+        # their groups drop out of the per-group max below — exactly
+        # the legacy hole semantics.
+        big = jnp.int32(2 ** 30)
+        hgrid = jnp.arange(g_rois - 1, dtype=jnp.int32)[None, :]
+        hole_live = hgrid < (padded - counts)[:, None]      # [nbs, g-1]
+        hole_key = jnp.where(hole_live, iota_b[:, None] * 2 + 1,
+                             big).reshape(-1)
+        tail = np_total - n - hole_key.shape[0]
+        assert tail >= 0
+        key = jnp.concatenate([
+            bslot * 2, hole_key, jnp.full((tail,), big, jnp.int32)])
+        nh = np_total - n
+
+        def ext(x, fill, dt):
+            return jnp.concatenate(
+                [x.astype(dt), jnp.full((nh,), fill, dt)])
+
+        sorted_ops = jax.lax.sort(
+            [key,
+             ext(tier, 0, jnp.int32), ext(wcol, 0, jnp.int32),
+             ext(roff, 0, jnp.int32)]
+            + [ext(geom2[:, k], 0.0, geom2.dtype) for k in range(8)]
+            + [ext(trow, -1, jnp.int32),
+               ext(jnp.arange(n, dtype=jnp.int32), big, jnp.int32)],
+            num_keys=1, is_stable=True)
+        rdesc = jnp.stack(sorted_ops[1:4], -1)          # [np, 3] i32
+        geom_p = jnp.stack(sorted_ops[4:12], -1)        # [np, 8] f32
+        pos_trow = sorted_ops[12]
+        orig_s = sorted_ops[13]
+        # inverse permutation (original RoI -> padded position) via a
+        # second 2-operand sort instead of a [n]-row scatter
+        _, positions = jax.lax.sort(
+            [orig_s, jnp.arange(np_total, dtype=jnp.int32)],
+            num_keys=1, is_stable=True)
+        dest_of_orig = positions[:n]
+
+        g_trow = jnp.max(pos_trow.reshape(ng, g_rois), axis=1)
+        g_valid = g_trow >= 0
+        g_first = jnp.concatenate([
+            g_valid[:1],
+            (g_trow[1:] != g_trow[:-1]) & g_valid[1:]])
+        dix = jnp.cumsum(g_first.astype(jnp.int32)) - 1
+        slot = jnp.maximum(dix, 0) % 2
+        fpg = jnp.zeros((ng,), jnp.int32).at[
+            jnp.where(g_first, dix, ng)].set(
+                jnp.arange(ng, dtype=jnp.int32), mode="drop")
+        has_next = dix < dix[-1]
+        npos = fpg[jnp.clip(dix + 1, 0, ng - 1)]
+        g_trow0 = jnp.maximum(g_trow, 0)
+        gdesc = jnp.stack([
+            g_trow0, slot, g_first.astype(jnp.int32),
+            (g_first & has_next).astype(jnp.int32), g_trow0[npos],
+        ], axis=-1).astype(jnp.int32).reshape(-1)
+        return (canvas, gdesc, rdesc.reshape(-1), geom_p.reshape(-1),
+                dest_of_orig, ovr)
+
+    perm = jnp.argsort(trow)                # band-sorted RoIs
+    ks = trow[perm]
+
     bslot = ks // 16                                        # [n]
     counts = jnp.zeros((nbs,), jnp.int32).at[bslot].add(1)
     padded = (counts + g_rois - 1) // g_rois * g_rois
@@ -1135,9 +1217,6 @@ def _prep_bands_grouped(features, boxes, image_size, oh, ow, s,
         jnp.arange(n, dtype=jnp.int32))     # first sorted pos per band
     dest = starts[bslot] + (jnp.arange(n, dtype=jnp.int32)
                             - bstart[bslot])                # [n]
-
-    np_total = (n + nbs * (g_rois - 1) + g_rois - 1) // g_rois * g_rois
-    ng = np_total // g_rois
 
     # per-RoI fields at padded positions (holes: tier 0 window at
     # (0, 0) of the resident band — finite garbage, sliced off below).
@@ -1295,6 +1374,7 @@ def multiscale_roi_align_hybrid(
     # "bands_grouped@dma_only", "@compute_only", "@xalign16".
     debug = "full"
     xalign = 8
+    legacy_prep = False
     if "@" in mode:
         mode, knobs = mode.split("@", 1)
         for knob in knobs.split(","):
@@ -1305,12 +1385,15 @@ def multiscale_roi_align_hybrid(
                 xalign = int(knob[len("xalign"):])
             elif knob == "nofix":
                 fixup_capacity = 0  # strip the gather repool (timing)
+            elif knob == "oldprep":
+                legacy_prep = True  # r4 argsort+scatter prep (A/B)
     if (mode in ("bands", "bands_grouped")
             and not bands_fit_vmem(features)):
         mode = "tiled"  # wide canvas: band buffers would blow VMEM
     if mode == "bands_grouped":
         prep = _prep_bands_grouped(features, boxes, image_size, oh, ow,
-                                   s, xalign=xalign)
+                                   s, xalign=xalign,
+                                   legacy=legacy_prep)
         out = multiscale_roi_align_bands_grouped(
             features, boxes, image_size, output_size, s,
             interpret=interpret, prep=prep, debug=debug, xalign=xalign)

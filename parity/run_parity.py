@@ -69,7 +69,12 @@ def _match_detections(ref, mine, iou_thr=0.75):
     mlb = np.asarray(mine[2])[np.asarray(mine[3])]
     used = np.zeros(len(mb), bool)
     box_d, score_d, matched, pairs = 0.0, 0.0, 0, []
-    valid_idx = np.where(np.asarray(mine[3]))[0]
+    # positions of the valid rows within the FLAT padded [D] arrays.
+    # (np.where on the un-flattened [1, D] mask returned the ROW
+    # indices — all zeros — so every pair pointed at our detection 0;
+    # that artifact was the entire r4 "trained mask paste 0.164"
+    # divergence. reshape(-1) first.)
+    valid_idx = np.where(np.asarray(mine[3]).reshape(-1))[0]
     for i in np.argsort(-rs):
         best, best_iou = -1, iou_thr
         for j in range(len(mb)):
@@ -188,6 +193,9 @@ def frcnn_parity(with_mask: bool = False, trained: bool = False):
         lambda m, i, o: captured.update(proposals=o[0]))
     ref.roi_heads.box_predictor.register_forward_hook(
         lambda m, i, o: captured.update(box_logits=o[0], box_reg=o[1]))
+    if with_mask:
+        ref.roi_heads.mask_predictor.register_forward_hook(
+            lambda m, i, o: captured.update(mask_logits=o))
     with torch.no_grad():
         out = ref([x_t])[0]
 
@@ -252,10 +260,58 @@ def frcnn_parity(with_mask: bool = False, trained: bool = False):
             jnp.asarray(mine[4][0]), jnp.asarray(mine[0][0]),
             (size, size)))
         d = 0.0
+        worst = None
         for ri, mi in pairs[:20]:
-            d = max(d, float(np.mean(np.abs(
-                ref_masks[ri, 0] - my_pasted[mi]))))
+            di = float(np.mean(np.abs(ref_masks[ri, 0] - my_pasted[mi])))
+            if di > d:
+                d, worst = di, (ri, mi)
         results["mask_paste_mean_absdiff_worst"] = d
+
+        # stage 4b (r5 isolation of the trained 0.164 row):
+        # (i) RAW 28x28 mask probs of matched detections — the mask
+        #     HEAD, before any paste;
+        # (ii) the REFERENCE's own raw masks + boxes through OUR paste
+        #     vs torchvision's paste_masks_in_image — the paste
+        #     SEMANTICS on identical inputs;
+        # (iii) the worst pair's box delta and whether the int64
+        #     truncation of the expanded box LANDED ON DIFFERENT
+        #     INTEGERS — paste is a discontinuous function of the box
+        #     (roi_heads.py:521 casts to int64), so an f32-noise box
+        #     delta across an integer boundary shifts the whole pasted
+        #     mask by a pixel.
+        ref_labels = out["labels"].numpy()
+        ml = captured["mask_logits"].numpy()     # [D, C, 28, 28]
+        dsel = np.arange(ml.shape[0])
+        ref_raw = 1.0 / (1.0 + np.exp(-ml[dsel, ref_labels]))
+        draw = 0.0
+        for ri, mi in pairs[:20]:
+            draw = max(draw, float(np.max(np.abs(
+                ref_raw[ri] - np.asarray(mine[4][0][mi])))))
+        results["mask_raw_maxdiff"] = draw
+
+        ref_boxes = out["boxes"].numpy()
+        same_in = np.asarray(MR.paste_masks_in_image(
+            jnp.asarray(ref_raw, jnp.float32),
+            jnp.asarray(ref_boxes, jnp.float32), (size, size)))
+        results["mask_paste_same_input_maxdiff"] = float(
+            np.max(np.abs(ref_masks[:, 0] - same_in)))
+
+        if worst is not None:
+            ri, mi = worst
+            rb, mb = ref_boxes[ri], np.asarray(mine[0][0][mi])
+
+            def int_corners(bx):
+                scale = 30.0 / 28.0  # expand_boxes for 28px + pad 1
+                cx, cy = (bx[0] + bx[2]) / 2, (bx[1] + bx[3]) / 2
+                hw = (bx[2] - bx[0]) / 2 * scale
+                hh = (bx[3] - bx[1]) / 2 * scale
+                return np.trunc(np.array(
+                    [cx - hw, cy - hh, cx + hw, cy + hh]))
+
+            results["mask_worst_box_maxdiff"] = float(
+                np.max(np.abs(rb - mb)))
+            results["mask_worst_int_corner_shift"] = float(
+                np.max(np.abs(int_corners(rb) - int_corners(mb))))
     return results
 
 

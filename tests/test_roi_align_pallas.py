@@ -330,3 +330,34 @@ def test_grouped_band_pooler_single_roi_and_14x14():
         feats2, bj, (256, 256), (14, 14), interpret=True)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_sortfree_prep_matches_legacy():
+    """The r5 scatter-free grouped prep (compare-sum band histogram +
+    hole-minting multi-operand sort) must emit EXACTLY the legacy
+    argsort+scatter descriptors: same canvas, group/RoI descriptors,
+    geometry, inverse permutation, and overflow flags — including
+    hole rows and the static BIG tail."""
+    from object_detectors_tpu.kernels.roi_align_pallas import (
+        _prep_bands_grouped,
+    )
+
+    rng = np.random.RandomState(42)
+    for bs, n, hw in ((2, 37, 64), (1, 130, 96), (3, 16, 32)):
+        feats = [jnp.asarray(rng.rand(bs, hw // (2**i), hw // (2**i), 8),
+                             jnp.float32) for i in range(4)]
+        raw = rng.rand(bs, n, 4).astype(np.float32) * (hw * 4)
+        bx = np.concatenate([np.minimum(raw[..., :2], raw[..., 2:]),
+                             np.maximum(raw[..., :2], raw[..., 2:])], -1)
+        # a few degenerate / huge / extreme-aspect boxes
+        bx[:, 0] = [1.0, 1.0, 1.5, 1.5]
+        bx[:, 1] = [0.0, 0.0, hw * 4 - 1, 12.0]
+        bj = jnp.asarray(bx)
+        new = _prep_bands_grouped(feats, bj, (hw * 4, hw * 4), 7, 7, 2)
+        old = _prep_bands_grouped(feats, bj, (hw * 4, hw * 4), 7, 7, 2,
+                                  legacy=True)
+        names = ("canvas", "gdesc", "rdesc", "geom", "dest_of_orig",
+                 "ovr")
+        for a, b, name in zip(new, old, names):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=name)
