@@ -94,7 +94,7 @@ def build_stages(size, dtype, num_classes=91):
             grids=tuple(grids))
         return jnp.sum(out[0]) + jnp.sum(out[1])
 
-    def post_stage(debug, select_mode="perlevel"):
+    def post_stage(debug, select_mode="fused"):
         def fn(images):
             cls, reg, level_sizes = model.apply(variables, images,
                                                 train=False)
@@ -123,6 +123,8 @@ def build_stages(size, dtype, num_classes=91):
             "post_cap": post_stage("cap"),
             "full_batched": post_stage("full",
                                        select_mode="batched"),
+            "full_perlevel": post_stage("full",
+                                        select_mode="perlevel"),
             "full": full}
 
 

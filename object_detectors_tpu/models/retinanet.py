@@ -347,7 +347,7 @@ def retinanet_postprocess(
     cfg: RetinaNetConfig,
     tfidf_post: jnp.ndarray | float = 1.0,
     grids: tuple | None = None,
-    select_mode: str = "perlevel",
+    select_mode: str = "fused",
 ):
     """[B] static-shape detections: (boxes [B,D,4], scores [B,D],
     labels [B,D], valid [B,D]) with D = detections_per_img.
@@ -422,7 +422,7 @@ def _retinanet_postprocess(
     cls_logits, bbox_reg, anchors, level_sizes, image_size,
     cfg: RetinaNetConfig, tfidf_post, static_tfidf: float | None,
     debug: str = "full", grids: tuple | None = None,
-    select_mode: str = "perlevel",
+    select_mode: str = "fused",
 ):
     """``debug`` truncates the pipeline for stage attribution in
     analysis/retinanet_ablate.py: "select" stops after the per-level
@@ -504,9 +504,63 @@ def _retinanet_postprocess(
         valid = fin.reshape(-1)
         return scores, labels, aidx, valid
 
+    def select_fused(logits):
+        """Per-level two-stage selects with the kth-code trip chains
+        FUSED across levels (ops/selection.radix_topk_multi): the
+        per-level loop serialized 2L sequential nbits/2-trip searches
+        (latency-bound); this runs 2 — one per stage — while keeping
+        every select unpadded (the padded "batched" variant measured
+        reduce-bandwidth-bound, queue_r5e). Identical outputs to the
+        perlevel loop."""
+        lvls, start = [], 0
+        for ls in level_sizes:
+            lg = jax.lax.dynamic_slice_in_dim(logits, start, ls, 0)
+            topk = min(cfg.topk_candidates, ls * k)
+            if static_pos:
+                raw = jnp.where(
+                    lg.astype(jnp.float32) * static_tfidf > logit_thr,
+                    lg, jnp.asarray(ninf, lg.dtype))
+                scale = static_tfidf
+            else:
+                raw = lg.astype(jnp.float32) * tfidf_post
+                raw = jnp.where(raw > logit_thr, raw, ninf)
+                scale = 1.0
+            lvls.append((raw, topk, scale, ls, start))
+            start += ls
+        # stage 1: top anchors by per-anchor max class score
+        stage1 = SEL.radix_topk_multi(
+            tuple(jnp.max(raw, axis=1) for raw, *_ in lvls),
+            tuple(min(topk, ls) for _, topk, _, ls, _ in lvls))
+        subs = [raw[a_idx].reshape(-1)
+                for (raw, *_), (_, a_idx) in zip(lvls, stage1)]
+        # stage 2: top (anchor, class) pairs within the superset
+        stage2 = SEL.radix_topk_multi(
+            tuple(subs), tuple(topk for _, topk, *_ in lvls))
+        lvl_aidx, lvl_scores, lvl_labels, lvl_valid = [], [], [], []
+        for (raw, topk, scale, ls, s0), (_, a_idx), (topv_l, sub_i) \
+                in zip(lvls, stage1, stage2):
+            topi = (a_idx[sub_i // k] * k + sub_i % k)
+            fin = jnp.isfinite(topv_l.astype(jnp.float32))
+            topv = jnp.where(
+                fin, jax.nn.sigmoid(topv_l.astype(jnp.float32)
+                                    * scale), ninf)
+            lvl_aidx.append((topi // k + s0).astype(jnp.int32))
+            lvl_scores.append(jnp.where(fin, topv, 0.0))
+            lvl_labels.append((topi % k).astype(jnp.int32))
+            lvl_valid.append(fin)
+        return (jnp.concatenate(lvl_scores, 0),
+                jnp.concatenate(lvl_labels, 0),
+                jnp.concatenate(lvl_aidx, 0),
+                jnp.concatenate(lvl_valid, 0))
+
     def per_image(logits, reg):
         if scalar_tfidf and select_mode == "batched":
             scores, labels, aidx, valid = select_batched(logits)
+            if debug == "select":
+                return (scores, scores, valid.astype(jnp.int32), valid)
+            return _post_select(scores, labels, aidx, valid, reg)
+        if scalar_tfidf and select_mode == "fused":
+            scores, labels, aidx, valid = select_fused(logits)
             if debug == "select":
                 return (scores, scores, valid.astype(jnp.int32), valid)
             return _post_select(scores, labels, aidx, valid, reg)

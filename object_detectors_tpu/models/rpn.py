@@ -127,7 +127,7 @@ def filter_proposals(
     debug: str = "full",
     fp_chunk: int = 256,
     fp_unroll: int = 2,
-    topk_mode: str = "perlevel",
+    topk_mode: str = "fused",
 ):
     """-> (boxes [B, P, 4], scores [B, P], valid [B, P]) with
     P = post_nms_top_n.
@@ -156,9 +156,11 @@ def filter_proposals(
         # LOSER here (queue_r5d: filter_topk 30.6 vs perlevel 28.6 ms
         # cumulative at bs16 640²): the RPN objectness rows are huge
         # (P2 alone is 76.8k), so the 3.7x padded reduce bytes cost
-        # more than the saved trip latency. The default stays
-        # "perlevel" (RetinaNet's batched select lost its serve-
-        # pipeline A/B too: 339.3 vs 382.3 img/s, queue_r5e).
+        # more than the saved trip latency. (RetinaNet's batched
+        # select lost its serve-pipeline A/B too: 339.3 vs 382.3
+        # img/s, queue_r5e.) The "fused" default below keeps the
+        # per-level unpadded structure and fuses ONLY the kth-code
+        # chains.
         n_max = max(level_sizes)
         starts = [0]
         for ls in level_sizes[:-1]:
@@ -190,13 +192,26 @@ def filter_proposals(
             boxes = props[flat_idx.reshape(-1)].reshape(
                 len(level_sizes), pre_n, 4)             # [L, pre_n, 4]
             logits = topv                               # [L, pre_n]
-        else:  # "perlevel" — the r4 path, kept for chip A/Bs
-            sel_boxes, sel_scores = [], []
+        else:
+            # "fused" (default): per-level UNPADDED selects but ONE
+            # kth-code trip chain for all levels (radix_topk_multi) —
+            # the search is latency-bound on L sequential chains (80
+            # trips at 5 levels/f32), while the pack stage stays
+            # per-level so no padded-row sort bytes (the "batched"
+            # loser above). "perlevel" = the r4 path, kept for A/Bs.
+            obs, prs, kss = [], [], []
             for s0, ls in zip(starts, level_sizes):
-                ob = jax.lax.dynamic_slice_in_dim(obj, s0, ls, 0)
-                pr = jax.lax.dynamic_slice_in_dim(props, s0, ls, 0)
-                k = min(pre_n, ls)
-                topv, topi = SEL.radix_topk(ob, k)
+                obs.append(jax.lax.dynamic_slice_in_dim(obj, s0, ls, 0))
+                prs.append(jax.lax.dynamic_slice_in_dim(props, s0, ls,
+                                                        0))
+                kss.append(min(pre_n, ls))
+            if topk_mode == "fused":
+                tops = SEL.radix_topk_multi(tuple(obs), tuple(kss))
+            else:
+                tops = [SEL.radix_topk(ob, k)
+                        for ob, k in zip(obs, kss)]
+            sel_boxes, sel_scores = [], []
+            for (topv, topi), pr, k in zip(tops, prs, kss):
                 if k < pre_n:
                     topv = jnp.concatenate(
                         [topv, jnp.full((pre_n - k,), -jnp.inf,

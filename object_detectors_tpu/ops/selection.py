@@ -106,21 +106,56 @@ def _kth_code(code: jnp.ndarray, k: int, nbits: int):
     return jax.lax.fori_loop(0, nbits // 2, body, zero)
 
 
-@partial(jax.jit, static_argnames=("k", "lanes"))
-def radix_topk(scores: jnp.ndarray, k: int, lanes: int = 128):
-    """Exact top-k SET of a 1-D score vector.
+def _kth_code_multi(codes, ks, nbits, bits_per_trip=2):
+    """Exact k-th largest code for SEVERAL independent arrays in ONE
+    sequential trip chain.
 
-    Returns (values [k], indices [k] int32). Ties at the k-th value are
-    broken lowest-index-first (same SET as lax.top_k); output order is
-    NOT score-sorted (see module docstring). vmap-safe.
+    The kth-code binary search is latency-bound: each trip is a full
+    compare+reduce pass, and a caller that selects per FPN level runs
+    L separate nbits/2-trip chains back-to-back (the RPN filter's 5
+    levels serialized 80 trips at 640²; measured 4.6 ms of the 9.9 ms
+    filter at bs16 — BASELINE.md r4). Fusing the searches runs ONE
+    chain whose body reduces every array (static segment shapes, no
+    padding — the padded [L, n_max] variant measured slower because
+    the pad bytes dominate, queue_r5d), so the trip count is nbits /
+    bits_per_trip TOTAL instead of per level.
+
+    ``bits_per_trip``: candidate extensions tested per trip (the
+    2-bit/3-candidate trick generalized: 2^b - 1 fused compare+sum
+    reductions pick the maximal b-bit extension — same single data
+    pass, more VPU accumulators, fewer sequential trips).
+
+    Returns a list of k-th codes, one per input array.
     """
-    n = scores.shape[0]
-    if k >= n:
-        return jax.lax.top_k(scores, min(k, n))
-    x = jnp.where(scores == 0, jnp.zeros_like(scores), scores)  # -0 -> +0
-    code, nbits = _to_code(x)
-    t = _kth_code(code, k, nbits)
+    assert nbits % bits_per_trip == 0, (nbits, bits_per_trip)
+    ncand = (1 << bits_per_trip) - 1
+    zero = jnp.zeros((), codes[0].dtype)
+    one = jnp.ones((), codes[0].dtype)
 
+    def body(i, ts):
+        shift = (nbits - bits_per_trip - bits_per_trip * i).astype(
+            codes[0].dtype)
+        out = []
+        for code, k, t in zip(codes, ks, ts):
+            # candidates t|m for m = ncand..1: counts are monotone in
+            # m, keep the largest extension whose count reaches k
+            new_t = t
+            for m in range(1, ncand + 1):
+                cm = t | (jnp.asarray(m, code.dtype) << shift)
+                nm = jnp.sum((code >= cm).astype(jnp.int32))
+                new_t = jnp.where(nm >= k, cm, new_t)
+            out.append(new_t)
+        return tuple(out)
+
+    return list(jax.lax.fori_loop(
+        0, nbits // bits_per_trip, body, tuple(zero for _ in codes)))
+
+
+def _pack_topk(x, code, t, k, lanes):
+    """Materialize the top-k SET given the k-th code ``t`` (steps 2-3
+    of the module docstring: 128-lane row sorts + prefix compaction).
+    Returns (values [k], indices [k] int32)."""
+    n = x.shape[0]
     nr = -(-n // lanes)
     pad = nr * lanes - n
     # pad code 0 is unreachable for ANY input (NaN remaps to 1, and no
@@ -154,6 +189,60 @@ def radix_topk(scores: jnp.ndarray, k: int, lanes: int = 128):
     col = sorted_cols[row, rank]
     idx = row * lanes + col
     return x[idx], idx
+
+
+@partial(jax.jit, static_argnames=("k", "lanes"))
+def radix_topk(scores: jnp.ndarray, k: int, lanes: int = 128):
+    """Exact top-k SET of a 1-D score vector.
+
+    Returns (values [k], indices [k] int32). Ties at the k-th value are
+    broken lowest-index-first (same SET as lax.top_k); output order is
+    NOT score-sorted (see module docstring). vmap-safe.
+    """
+    n = scores.shape[0]
+    if k >= n:
+        return jax.lax.top_k(scores, min(k, n))
+    x = jnp.where(scores == 0, jnp.zeros_like(scores), scores)  # -0 -> +0
+    code, nbits = _to_code(x)
+    t = _kth_code(code, k, nbits)
+    return _pack_topk(x, code, t, k, lanes)
+
+
+@partial(jax.jit, static_argnames=("ks", "lanes", "bits_per_trip"))
+def radix_topk_multi(scores_list, ks, lanes: int = 128,
+                     bits_per_trip: int = 2):
+    """Exact top-k SETs of several independent 1-D score vectors with
+    ONE fused kth-code trip chain (see :func:`_kth_code_multi` — the
+    per-level RPN/RetinaNet selects are latency-bound on L separate
+    chains). Semantics per array are identical to :func:`radix_topk`.
+
+    ``scores_list``: tuple of 1-D arrays (arbitrary unequal lengths —
+    no padding); ``ks``: matching tuple of ints. Returns a list of
+    (values [k], indices [k] int32). vmap-safe.
+    """
+    assert len(scores_list) == len(ks)
+    full, search = [], []
+    for i, (s, k) in enumerate(zip(scores_list, ks)):
+        (full if k >= s.shape[0] else search).append(i)
+    out = [None] * len(ks)
+    for i in full:
+        out[i] = jax.lax.top_k(scores_list[i],
+                               min(ks[i], scores_list[i].shape[0]))
+    if search:
+        xs, codes = [], []
+        nbits = None
+        for i in search:
+            x = jnp.where(scores_list[i] == 0,
+                          jnp.zeros_like(scores_list[i]),
+                          scores_list[i])
+            code, nbits = _to_code(x)
+            xs.append(x)
+            codes.append(code)
+        ts = _kth_code_multi(codes, [ks[i] for i in search], nbits,
+                             bits_per_trip=bits_per_trip)
+        for x, code, t, i in zip(xs, codes, ts, search):
+            out[i] = _pack_topk(x, code, t, ks[i], lanes)
+    return out
 
 
 def radix_topk_masked(scores: jnp.ndarray, valid: jnp.ndarray, k: int):

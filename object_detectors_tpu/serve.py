@@ -223,7 +223,7 @@ def build_yolo_pipeline(num_classes=80, img_size=640, batch_size=64,
 def build_retinanet_pipeline(num_classes=91, img_size=640,
                              resnet_layers=(3, 4, 6, 3),
                              dtype=jnp.bfloat16, uint8_input=False,
-                             fused_towers=False, select_mode="perlevel"):
+                             fused_towers=False, select_mode="fused"):
     from object_detectors_tpu.models import anchors as anchor_lib
     from object_detectors_tpu.models import retinanet as RN
 

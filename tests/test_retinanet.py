@@ -289,11 +289,13 @@ def test_batched_select_matches_perlevel():
     cls[1, : level_sizes[0]] = -9.0  # whole level below threshold
     reg = (rng.randn(2, total, 4) * 0.1).astype(np.float32)
     outs = {}
-    for mode in ("perlevel", "batched"):
+    for mode in ("perlevel", "batched", "fused"):
         outs[mode] = R.retinanet_postprocess(
             jnp.asarray(cls), jnp.asarray(reg), anchors, level_sizes,
             (64, 64), cfg, select_mode=mode)
-    for a, b, name in zip(outs["perlevel"], outs["batched"],
-                          ("boxes", "scores", "labels", "valid")):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-6, atol=1e-6, err_msg=name)
+    for other in ("batched", "fused"):
+        for a, b, name in zip(outs["perlevel"], outs[other],
+                              ("boxes", "scores", "labels", "valid")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-6,
+                                       err_msg=f"{other}:{name}")

@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 from object_detectors_tpu.ops.selection import radix_topk, radix_topk_masked
+from object_detectors_tpu.ops import selection as S
 
 
 def _set_parity(scores, k):
@@ -123,3 +124,45 @@ def test_nan_orders_below_everything(dtype):
     rv6, _ = radix_topk(sj, 6)
     v6 = np.asarray(rv6, np.float32)
     assert np.isneginf(v6).sum() == 1 and np.isnan(v6).sum() == 1
+
+
+def test_radix_topk_multi_matches_single():
+    """The fused-chain multi-array select must return exactly what
+    per-array radix_topk returns (same sets, same lowest-index tie
+    breaks), for unequal lengths, heavy ties, k >= n rows, and both
+    trip widths."""
+    rng = np.random.RandomState(9)
+    arrays = [
+        rng.randn(1000).astype(np.float32),
+        np.repeat(rng.randn(30).astype(np.float32), 17),  # ties
+        rng.randn(7).astype(np.float32),                  # k >= n
+        rng.randn(333).astype(np.float32),
+    ]
+    arrays[0][::50] = 2.5  # cross-array tie plateau at the kth value
+    ks = (100, 64, 10, 333)
+    js = tuple(jnp.asarray(a) for a in arrays)
+    for bpt in (2, 4):
+        multi = S.radix_topk_multi(js, ks, bits_per_trip=bpt)
+        for a, k, (mv, mi) in zip(js, ks, multi):
+            sv, si = S.radix_topk(a, k)
+            np.testing.assert_array_equal(np.asarray(si),
+                                          np.asarray(mi))
+            np.testing.assert_array_equal(np.asarray(sv),
+                                          np.asarray(mv))
+
+
+def test_radix_topk_multi_vmap():
+    rng = np.random.RandomState(4)
+    a = jnp.asarray(rng.randn(3, 500).astype(np.float32))
+    b = jnp.asarray(rng.randn(3, 90).astype(np.float32))
+
+    def f(x, y):
+        (va, ia), (vb, ib) = S.radix_topk_multi((x, y), (50, 20))
+        return va, ia, vb, ib
+
+    va, ia, vb, ib = jax.vmap(f)(a, b)
+    for i in range(3):
+        sv, si = S.radix_topk(a[i], 50)
+        np.testing.assert_array_equal(np.asarray(ia[i]), np.asarray(si))
+        sv, si = S.radix_topk(b[i], 20)
+        np.testing.assert_array_equal(np.asarray(ib[i]), np.asarray(si))

@@ -360,11 +360,13 @@ def test_rpn_filter_batched_topk_matches_perlevel():
     obj = rng.randn(2, total).astype(np.float32)
     obj[0, :7] = 3.0  # exact score ties exercise lowest-index breaks
     outs = {}
-    for mode in ("perlevel", "batched"):
+    for mode in ("perlevel", "batched", "fused"):
         outs[mode] = RPN.filter_proposals(
             jnp.asarray(props), jnp.asarray(obj), level_sizes,
             (64, 64), cfg, training=False, topk_mode=mode)
-    for a, b, name in zip(outs["perlevel"], outs["batched"],
-                          ("boxes", "scores", "valid")):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-6, atol=1e-6, err_msg=name)
+    for other in ("batched", "fused"):
+        for a, b, name in zip(outs["perlevel"], outs[other],
+                              ("boxes", "scores", "valid")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-6,
+                                       err_msg=f"{other}:{name}")
