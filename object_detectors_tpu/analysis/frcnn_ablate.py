@@ -203,6 +203,12 @@ def build_stages(size, dtype, pooler="auto"):
             "full_prep_only_old": partial(
                 _full_pieces,
                 pooler_mode="pallas_bands_grouped@prep_only,oldprep"),
+            # r5 pair fold: one span-2 read per bilinear tap — 14
+            # dynamic band reads per RoI instead of 28 (the grouped
+            # compute is read-issue-bound, BASELINE.md r4)
+            "full_pair": partial(
+                _full_pieces,
+                pooler_mode="pallas_bands_grouped@fold=pair"),
             }
 
 

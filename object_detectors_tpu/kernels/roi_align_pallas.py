@@ -1043,7 +1043,38 @@ def _band_group_kernel(gdesc_ref, rdesc_ref, geom_ref, canvas_ref,
 
                 for irow in range(oh):
                     taps = row_taps(irow)
-                    if fold == "quad":
+                    if fold == "pair":
+                        # each tap's two bilinear rows are adjacent
+                        # (rb <= ra + 1 by construction, equal only at
+                        # clamps), so ONE span-2 read at
+                        # rp = min(ra, BAND_R-2) covers both: 14
+                        # dynamic band reads per RoI instead of 28.
+                        # The grouped compute is read-ISSUE-bound on
+                        # the dynamic row reads (BASELINE.md r4), so
+                        # the read count, not bytes or FLOPs, is the
+                        # lever; the two tap weights route onto the
+                        # span rows by scalar compares (every clamp
+                        # case lands in {rp, rp+1} — see inline).
+                        rows = jnp.zeros((tw, c), jnp.float32)
+                        for (ya, yb, wa, wb) in taps:
+                            ra = jnp.clip(
+                                (ya - rbase).astype(jnp.int32) + roff,
+                                0, BAND_R - 1)
+                            rb = jnp.clip(
+                                (yb - rbase).astype(jnp.int32) + roff,
+                                0, BAND_R - 1)
+                            # ra <= rb <= ra+1; rp+1 <= BAND_R-1, and
+                            # when ra == BAND_R-1, ra == rb == rp+1.
+                            rp = jnp.minimum(ra, BAND_R - 2)
+                            w0 = (jnp.where(ra == rp, wa, 0.0)
+                                  + jnp.where(rb == rp, wb, 0.0))
+                            w1 = (jnp.where(ra == rp + 1, wa, 0.0)
+                                  + jnp.where(rb == rp + 1, wb, 0.0))
+                            duo = band_buf[
+                                slot, pl.ds(rp, 2),
+                                pl.ds(wcol, tw)].astype(jnp.float32)
+                            rows = rows + duo[0] * w0 + duo[1] * w1
+                    elif fold == "quad":
                         # all srat*2 taps of one output row live in 8
                         # consecutive window rows starting at the first
                         # tap's floor (worst tier: tall, span_y <= 46
@@ -1375,6 +1406,7 @@ def multiscale_roi_align_hybrid(
     debug = "full"
     xalign = 8
     legacy_prep = False
+    fold = "rows"
     if "@" in mode:
         mode, knobs = mode.split("@", 1)
         for knob in knobs.split(","):
@@ -1387,6 +1419,8 @@ def multiscale_roi_align_hybrid(
                 fixup_capacity = 0  # strip the gather repool (timing)
             elif knob == "oldprep":
                 legacy_prep = True  # r4 argsort+scatter prep (A/B)
+            elif knob.startswith("fold="):
+                fold = knob[len("fold="):]  # rows|wide|quad|pair (A/B)
     if (mode in ("bands", "bands_grouped")
             and not bands_fit_vmem(features)):
         mode = "tiled"  # wide canvas: band buffers would blow VMEM
@@ -1396,7 +1430,8 @@ def multiscale_roi_align_hybrid(
                                    legacy=legacy_prep)
         out = multiscale_roi_align_bands_grouped(
             features, boxes, image_size, output_size, s,
-            interpret=interpret, prep=prep, debug=debug, xalign=xalign)
+            interpret=interpret, prep=prep, debug=debug, xalign=xalign,
+            fold=fold)
     elif mode == "bands":
         prep = _prep_bands(features, boxes, image_size, oh, ow, s)
         out = multiscale_roi_align_bands(

@@ -282,6 +282,13 @@ def test_grouped_band_pooler_matches_reference():
         xalign=16)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(a16),
                                rtol=1e-4, atol=1e-5)
+    # fold="pair" (one span-2 read per bilinear tap, weights routed by
+    # scalar compares incl. every clamp case) is an exact
+    # reformulation of the per-row fold
+    pair = multiscale_roi_align_bands_grouped(
+        feats, bj, (256, 256), (7, 7), interpret=True, fold="pair")
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(pair),
+                               rtol=1e-4, atol=1e-5)
 
 
 def test_hybrid_grouped_exact_with_extreme_aspects():
