@@ -209,6 +209,15 @@ def build_stages(size, dtype, pooler="auto"):
             "full_pair": partial(
                 _full_pieces,
                 pooler_mode="pallas_bands_grouped@fold=pair"),
+            # r5 sortlite prep: 2-operand (key, iota) sort + one
+            # [np, 12] row gather instead of the 14-operand sort —
+            # sort passes move every payload lane
+            "full_sortlite": partial(
+                _full_pieces,
+                pooler_mode="pallas_bands_grouped@sortlite"),
+            "full_sortlite_pair": partial(
+                _full_pieces,
+                pooler_mode="pallas_bands_grouped@sortlite,fold=pair"),
             }
 
 

@@ -1124,7 +1124,8 @@ def _band_group_kernel(gdesc_ref, rdesc_ref, geom_ref, canvas_ref,
 
 
 def _prep_bands_grouped(features, boxes, image_size, oh, ow, s,
-                        g_rois=GROUP, xalign=8, legacy=False):
+                        g_rois=GROUP, xalign=8, legacy=False,
+                        lite=False):
     """Grouped-band descriptors: RoIs sort by 64-row canvas band
     (stride 32; 16 for the tall tier), each band's run is padded to a
     multiple of ``g_rois`` so every grid step lives in one band, and
@@ -1198,24 +1199,55 @@ def _prep_bands_grouped(features, boxes, image_size, oh, ow, s,
             return jnp.concatenate(
                 [x.astype(dt), jnp.full((nh,), fill, dt)])
 
-        sorted_ops = jax.lax.sort(
-            [key,
-             ext(tier, 0, jnp.int32), ext(wcol, 0, jnp.int32),
-             ext(roff, 0, jnp.int32)]
-            + [ext(geom2[:, k], 0.0, geom2.dtype) for k in range(8)]
-            + [ext(trow, -1, jnp.int32),
-               ext(jnp.arange(n, dtype=jnp.int32), big, jnp.int32)],
-            num_keys=1, is_stable=True)
-        rdesc = jnp.stack(sorted_ops[1:4], -1)          # [np, 3] i32
-        geom_p = jnp.stack(sorted_ops[4:12], -1)        # [np, 8] f32
-        pos_trow = sorted_ops[12]
-        orig_s = sorted_ops[13]
-        # inverse permutation (original RoI -> padded position) via a
-        # second 2-operand sort instead of a [n]-row scatter
-        _, positions = jax.lax.sort(
-            [orig_s, jnp.arange(np_total, dtype=jnp.int32)],
-            num_keys=1, is_stable=True)
-        dest_of_orig = positions[:n]
+        if lite:
+            # "@sortlite": sort only (key, source-iota) — the sort's
+            # compare-exchange passes move EVERY operand, so cutting
+            # the payload from 14 lanes to 2 cuts the sort bytes 7x —
+            # then place the 12 descriptor fields with ONE [np, 12]
+            # row gather by the sorted source index (~30 ns/row).
+            # Field values, hole fills and tie order are identical to
+            # the multi-operand sort below (stability + unique iota).
+            _, src = jax.lax.sort(
+                [key, jnp.arange(np_total, dtype=jnp.int32)],
+                num_keys=1, is_stable=True)
+            table = jnp.concatenate([
+                jnp.stack([tier, wcol, roff], -1).astype(jnp.float32),
+                geom2.astype(jnp.float32),
+                trow[:, None].astype(jnp.float32)], -1)   # [n, 12]
+            hole_row = jnp.concatenate([
+                jnp.zeros((11,), jnp.float32),
+                jnp.full((1,), -1.0, jnp.float32)])
+            table = jnp.concatenate(
+                [table, jnp.broadcast_to(hole_row, (nh, 12))])
+            packed = table[src]                           # [np, 12]
+            rdesc = packed[:, :3].astype(jnp.int32)
+            geom_p = packed[:, 3:11].astype(geom2.dtype)
+            pos_trow = packed[:, 11].astype(jnp.int32)
+            # inverse permutation: reals carry src < n, holes >= n, so
+            # sorting (src, iota) puts dest-of-real-i at position i
+            _, positions = jax.lax.sort(
+                [src, jnp.arange(np_total, dtype=jnp.int32)],
+                num_keys=1, is_stable=True)
+            dest_of_orig = positions[:n]
+        else:
+            sorted_ops = jax.lax.sort(
+                [key,
+                 ext(tier, 0, jnp.int32), ext(wcol, 0, jnp.int32),
+                 ext(roff, 0, jnp.int32)]
+                + [ext(geom2[:, k], 0.0, geom2.dtype) for k in range(8)]
+                + [ext(trow, -1, jnp.int32),
+                   ext(jnp.arange(n, dtype=jnp.int32), big, jnp.int32)],
+                num_keys=1, is_stable=True)
+            rdesc = jnp.stack(sorted_ops[1:4], -1)          # [np, 3] i32
+            geom_p = jnp.stack(sorted_ops[4:12], -1)        # [np, 8] f32
+            pos_trow = sorted_ops[12]
+            orig_s = sorted_ops[13]
+            # inverse permutation (original RoI -> padded position) via a
+            # second 2-operand sort instead of a [n]-row scatter
+            _, positions = jax.lax.sort(
+                [orig_s, jnp.arange(np_total, dtype=jnp.int32)],
+                num_keys=1, is_stable=True)
+            dest_of_orig = positions[:n]
 
         g_trow = jnp.max(pos_trow.reshape(ng, g_rois), axis=1)
         g_valid = g_trow >= 0
@@ -1406,6 +1438,7 @@ def multiscale_roi_align_hybrid(
     debug = "full"
     xalign = 8
     legacy_prep = False
+    lite_prep = False
     fold = "rows"
     if "@" in mode:
         mode, knobs = mode.split("@", 1)
@@ -1419,6 +1452,8 @@ def multiscale_roi_align_hybrid(
                 fixup_capacity = 0  # strip the gather repool (timing)
             elif knob == "oldprep":
                 legacy_prep = True  # r4 argsort+scatter prep (A/B)
+            elif knob == "sortlite":
+                lite_prep = True  # 2-operand sort + row gather (A/B)
             elif knob.startswith("fold="):
                 fold = knob[len("fold="):]  # rows|wide|quad|pair (A/B)
     if (mode in ("bands", "bands_grouped")
@@ -1427,7 +1462,7 @@ def multiscale_roi_align_hybrid(
     if mode == "bands_grouped":
         prep = _prep_bands_grouped(features, boxes, image_size, oh, ow,
                                    s, xalign=xalign,
-                                   legacy=legacy_prep)
+                                   legacy=legacy_prep, lite=lite_prep)
         out = multiscale_roi_align_bands_grouped(
             features, boxes, image_size, output_size, s,
             interpret=interpret, prep=prep, debug=debug, xalign=xalign,

@@ -289,6 +289,17 @@ def test_grouped_band_pooler_matches_reference():
         feats, bj, (256, 256), (7, 7), interpret=True, fold="pair")
     np.testing.assert_allclose(np.asarray(ref), np.asarray(pair),
                                rtol=1e-4, atol=1e-5)
+    # sortlite prep (2-operand sort + row gather) must produce
+    # byte-identical descriptors to the multi-operand sort
+    from object_detectors_tpu.kernels.roi_align_pallas import (
+        _prep_bands_grouped,
+    )
+    p0 = _prep_bands_grouped(feats, bj, (256, 256), 7, 7, 2)
+    p1 = _prep_bands_grouped(feats, bj, (256, 256), 7, 7, 2, lite=True)
+    for a, b, nm in zip(p0, p1, ("canvas", "gdesc", "rdesc", "geom",
+                                 "dest_of_orig", "ovr")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=nm)
 
 
 def test_hybrid_grouped_exact_with_extreme_aspects():
